@@ -1,0 +1,166 @@
+"""As-of join correctness: DuckDB ASOF JOIN oracle, plain-vs-bucketed
+equivalence, and the zero-temporal-leakage property."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators.asof import asof_join, asof_join_bucketed
+from topo_descriptors_spark.sources import synthetic
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    state = synthetic.series(spark, n_entities=15, max_points=80, hot_entity_factor=10)
+    queries = synthetic.asof_queries(spark, n_queries=800, n_entities=18)  # some entities with no state
+    state.cache().count()
+    queries.cache().count()
+    return state, queries
+
+
+def _duck_asof(state_pd, queries_pd, strict=False):
+    con = duckdb.connect()
+    con.register("state", state_pd)
+    con.register("q", queries_pd)
+    op = ">" if strict else ">="
+    return con.sql(
+        f"""
+        SELECT q.entity_id, q.q_ts, q.q_id, s.ts AS matched_ts, s.value AS value
+        FROM q ASOF LEFT JOIN state s
+          ON q.entity_id = s.entity_id AND q.q_ts {op} s.ts
+        """
+    ).df()
+
+
+def _compare(a: pd.DataFrame, b: pd.DataFrame):
+    a = a.sort_values("q_id").reset_index(drop=True)
+    b = b.sort_values("q_id").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a["matched_ts"].equals(b["matched_ts"]), "matched_ts mismatch"
+    assert np.allclose(
+        a["value"].to_numpy(float), b["value"].to_numpy(float), equal_nan=True
+    )
+
+
+def test_asof_vs_duckdb(data):
+    state, queries = data
+    out = asof_join(
+        queries, state.select("entity_id", "ts", "value"), on="entity_id"
+    ).toPandas()
+    oracle = _duck_asof(
+        state.select("entity_id", "ts", "value").toPandas(), queries.toPandas()
+    )
+    _compare(out[["q_id", "matched_ts", "value"]], oracle[["q_id", "matched_ts", "value"]])
+
+
+def _tie_queries(state):
+    # deterministic subset of state timestamps as query times (exact ties)
+    return state.where(F.col("pos") % 7 == 0).select(
+        "entity_id",
+        F.col("ts").alias("q_ts"),
+        F.xxhash64("entity_id", "pos").alias("q_id"),
+    )
+
+
+def test_asof_strict_vs_duckdb(data):
+    state, queries = data
+    ties = _tie_queries(state)
+    out = asof_join(
+        ties, state.select("entity_id", "ts", "value"), on="entity_id", strict=True
+    ).toPandas()
+    oracle = _duck_asof(
+        state.select("entity_id", "ts", "value").toPandas(), ties.toPandas(), strict=True
+    )
+    # strict: a matched state row must be strictly earlier than the query
+    m = out.dropna(subset=["matched_ts"])
+    assert (m["matched_ts"] < m["q_ts"]).all()
+    _compare(out[["q_id", "matched_ts", "value"]], oracle[["q_id", "matched_ts", "value"]])
+
+
+def test_asof_inclusive_tie(data):
+    state, _ = data
+    ties = _tie_queries(state)
+    out = asof_join(
+        ties, state.select("entity_id", "ts", "value"), on="entity_id", strict=False
+    ).toPandas()
+    # inclusive: the state row AT q_ts is visible
+    assert (out["matched_ts"] == out["q_ts"]).all()
+
+
+def test_bucketed_equals_plain(data):
+    state, queries = data
+    s = state.select("entity_id", "ts", "value")
+    plain = asof_join(queries, s, on="entity_id").toPandas()
+    for bucket in (3600.0, 86400.0, 40.0):
+        bucketed = asof_join_bucketed(
+            queries, s, on="entity_id", bucket_seconds=bucket
+        ).toPandas()
+        _compare(
+            plain[["q_id", "matched_ts", "value"]],
+            bucketed[["q_id", "matched_ts", "value"]],
+        )
+
+
+def test_bucketed_strict_equals_plain(data):
+    state, queries = data
+    s = state.select("entity_id", "ts", "value")
+    plain = asof_join(queries, s, on="entity_id", strict=True).toPandas()
+    bucketed = asof_join_bucketed(
+        queries, s, on="entity_id", bucket_seconds=3600.0, strict=True
+    ).toPandas()
+    _compare(
+        plain[["q_id", "matched_ts", "value"]],
+        bucketed[["q_id", "matched_ts", "value"]],
+    )
+
+
+def test_zero_leakage_property(data):
+    """Deleting all state rows with ts > q must not change results at q."""
+    state, queries = data
+    s = state.select("entity_id", "ts", "value")
+    cutoff = "2024-01-01 06:00:00"
+    early_q = queries.where(F.col("q_ts") <= F.lit(cutoff).cast("timestamp"))
+    full = asof_join(early_q, s, on="entity_id").toPandas()
+    truncated_state = s.where(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    trunc = asof_join(early_q, truncated_state, on="entity_id").toPandas()
+    _compare(
+        full[["q_id", "matched_ts", "value"]], trunc[["q_id", "matched_ts", "value"]]
+    )
+
+
+def test_tolerance(data):
+    state, queries = data
+    s = state.select("entity_id", "ts", "value")
+    out = asof_join(
+        queries, s, on="entity_id", tolerance_seconds=120.0
+    ).toPandas()
+    age = (out["q_ts"] - out["matched_ts"]).dt.total_seconds()
+    assert (age.dropna() <= 120.0).all()
+
+
+def test_null_state_value_preserved(spark):
+    """A matched state row with NULL value must yield NULL (not an older value)."""
+    state = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a", "a"],
+                "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]),
+                "value": [1.0, None],
+            }
+        )
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a"],
+                "q_ts": pd.to_datetime(["2024-01-01 02:00"]),
+                "q_id": [0],
+            }
+        )
+    )
+    out = asof_join(q, state, on="entity_id").toPandas()
+    assert pd.isna(out.loc[0, "value"])
+    assert out.loc[0, "matched_ts"] == pd.Timestamp("2024-01-01 01:00")

@@ -1,0 +1,20 @@
+"""Small column helpers shared by operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def axis_seconds(df: DataFrame, order: str) -> Column:
+    """Numeric (fractional-seconds) axis for a time or position column.
+
+    TIMESTAMP casts straight to double; TIMESTAMP_NTZ must hop through
+    TIMESTAMP first (the session timezone is pinned to UTC so the hop is
+    numerically a no-op); numeric columns pass through as double.
+    """
+    dtype = dict(df.dtypes).get(order, "")
+    c = F.col(order)
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")

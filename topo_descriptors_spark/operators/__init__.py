@@ -1,0 +1,1 @@
+"""Relational + windowed operators of the engine (SURVEY.md §2)."""

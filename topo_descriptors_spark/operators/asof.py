@@ -1,0 +1,224 @@
+"""Point-in-time (as-of) join — the engine's namesake operator (J1).
+
+Semantics: for every query row ``(keys, q_ts)``, attach the state row
+``(keys, s_ts <= q_ts)`` with the largest ``s_ts`` — "state visible at or
+before me, never ahead".  Zero temporal leakage by construction: the
+reduction only ever looks backward in the sort order.  This is the
+relational recast of the reference's one-sided directional scan (Sx looks
+only at cells strictly behind the target along the azimuth; reference
+topo.py:845, 919-923 — the mask stops lines *before* the center).
+
+Two physical strategies:
+
+* :func:`asof_join` — union trick: tag both sides, sort by
+  ``(keys, ts, side)``, propagate the last state struct with
+  ``last(..., ignorenulls=True)`` over an unbounded-preceding frame.
+  ONE shuffle of (queries+state), one sort — the same cost as a
+  sort-merge join, with no range-explosion.  Partition key = join keys.
+* :func:`asof_join_bucketed` — the 100-TB form.  Partition key =
+  ``(keys, time_bucket)``: a hot entity's timeline is split across
+  buckets, so a single entity with 10^9 rows no longer pins one task.
+  Per-bucket carry-in state is computed on the tiny per-bucket-last
+  table (|entities|×|buckets| rows) and re-injected as synthetic rows —
+  two light shuffles of the small table + one of the data.
+
+Both produce identical results (property-tested, and checked against
+DuckDB ``ASOF JOIN`` by the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.functions.cols import axis_seconds
+
+
+def _prep_sides(
+    queries_df: DataFrame,
+    state_df: DataFrame,
+    on: list[str],
+    q_ts: str,
+    s_ts: str,
+    value_cols: list[str],
+):
+    q = queries_df.withColumn("_ts", F.col(q_ts)).withColumn("_side", F.lit(1))
+    s = state_df.select(
+        *on,
+        F.col(s_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+    )
+    # Pack the state payload into one struct so that a state row whose
+    # value column is NULL still "wins" as the most recent match (the
+    # struct itself is non-null); last(ignorenulls) then reproduces exact
+    # ASOF-join semantics instead of skipping to an older non-null value.
+    s = s.withColumn(
+        "_state", F.struct(F.col("_ts").alias("matched_ts"), *value_cols)
+    ).drop(*value_cols)
+    return q.unionByName(s, allowMissingColumns=True)
+
+
+def _unpack(
+    merged: DataFrame,
+    queries_df: DataFrame,
+    value_cols: list[str],
+    q_ts: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    out = merged.where(F.col("_side") == 1)
+    keep = [F.col(c) for c in queries_df.columns]
+    keep.append(F.col("_match.matched_ts").alias("matched_ts"))
+    keep.extend(F.col(f"_match.{c}").alias(c) for c in value_cols)
+    out = out.select(*keep)
+    if tolerance_seconds is not None:
+        age = axis_seconds(out, q_ts) - axis_seconds(out, "matched_ts")
+        ok = age <= F.lit(float(tolerance_seconds))
+        out = out.select(
+            *[F.col(c) for c in queries_df.columns],
+            F.when(ok, F.col("matched_ts")).alias("matched_ts"),
+            *[F.when(ok, F.col(c)).alias(c) for c in value_cols],
+        )
+    return out
+
+
+def asof_join(
+    queries_df: DataFrame,
+    state_df: DataFrame,
+    on: list[str] | str,
+    q_ts: str = "q_ts",
+    s_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join (union + last-ignorenulls sort-merge).
+
+    ``strict=False`` matches ``s_ts <= q_ts`` (DuckDB ``ASOF JOIN ... ON
+    q.ts >= s.ts``); ``strict=True`` matches ``s_ts < q_ts`` only.  The
+    tie rule is enforced by the secondary sort key: at equal timestamps
+    the state row sorts before the query row iff the join is inclusive.
+    If the state side can hold several rows per (keys, ts), deduplicate
+    it first (the last one in sort order would win nondeterministically).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in state_df.columns if c not in set(on) | {s_ts}]
+
+    merged = _prep_sides(queries_df, state_df, on, q_ts, s_ts, value_cols)
+    # inclusive: state (0) before query (1) at equal ts → query sees it;
+    # strict: query first → state at the same instant is invisible.
+    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = merged.withColumn(
+        "_match", F.last(F.col("_state"), ignorenulls=True).over(w)
+    )
+    return _unpack(merged, queries_df, value_cols, q_ts, tolerance_seconds)
+
+
+def asof_join_bucketed(
+    queries_df: DataFrame,
+    state_df: DataFrame,
+    on: list[str] | str,
+    q_ts: str = "q_ts",
+    s_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    bucket_seconds: float = 86400.0,
+    strict: bool = False,
+) -> DataFrame:
+    """Skew-proof as-of join partitioned by ``(keys, time_bucket)``.
+
+    Plan:
+      1. bucket both sides on ``floor(unix_ts / bucket_seconds)``;
+      2. reduce the state side to its last row per (keys, bucket) —
+         a map-side-combinable ``max(struct(ts, payload))`` aggregate;
+      3. forward-fill those per-bucket lasts across the union of state
+         and query buckets (window over the *small* table) and shift by
+         one bucket → carry-in state at each bucket's start;
+      4. union carry-in rows (+ in-bucket state + queries) and run the
+         same last-ignorenulls reduction, now partitioned by
+         (keys, bucket) — bounded partition sizes regardless of entity
+         skew, no giant single-entity sort.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in state_df.columns if c not in set(on) | {s_ts}]
+
+    q = (
+        queries_df.withColumn("_ts", F.col(q_ts))
+        .withColumn(
+            "_bucket",
+            F.floor(axis_seconds(queries_df, q_ts) / F.lit(float(bucket_seconds))),
+        )
+        .withColumn("_side", F.lit(2))
+    )
+    s_base = state_df.select(
+        *on, F.col(s_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    s = (
+        s_base.withColumn(
+            "_bucket",
+            F.floor(axis_seconds(s_base, "_ts") / F.lit(float(bucket_seconds))),
+        )
+        .withColumn("_side", F.lit(1))
+        .withColumn(
+            "_state", F.struct(F.col("_ts").alias("matched_ts"), *value_cols)
+        )
+        .drop(*value_cols)
+    )
+
+    # (2) last state per (keys, bucket): max over the ts-led struct is the
+    # row with the largest ts — partial-aggregated map-side, tiny output.
+    bucket_last = s.groupBy(*on, "_bucket").agg(F.max("_state").alias("_state"))
+
+    # (3) carry-in over the bucket domain of BOTH sides.
+    domain = (
+        bucket_last.select(*on, "_bucket")
+        .unionByName(q.select(*on, "_bucket"))
+        .distinct()
+    )
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        domain.join(bucket_last, on + ["_bucket"], "left")
+        .withColumn("_carry", F.last("_state", ignorenulls=True).over(w_carry))
+        .where(F.col("_carry").isNotNull())
+        .select(
+            *on,
+            F.col("_bucket"),
+            F.col("_carry").alias("_state"),
+            F.lit(0).alias("_side"),
+            F.lit(None).cast(q.schema["_ts"].dataType).alias("_ts"),
+        )
+    )
+
+    # (4) in-bucket reduction.  Sort: carry-in first (_ts NULL → side 0
+    # with nulls-first ts), then by ts; at equal ts state-vs-query order
+    # encodes the inclusive/strict tie rule.
+    merged = q.unionByName(s, allowMissingColumns=True).unionByName(
+        carry, allowMissingColumns=True
+    )
+    if strict:
+        tie = F.when(F.col("_side") == 0, 0).when(F.col("_side") == 2, 1).otherwise(2)
+    else:
+        tie = F.col("_side")
+    w = (
+        Window.partitionBy(*on, "_bucket")
+        .orderBy(F.col("_ts").asc_nulls_first(), tie.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = merged.withColumn(
+        "_match", F.last("_state", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("_side") == 2)
+    keep = [F.col(c) for c in queries_df.columns]
+    keep.append(F.col("_match.matched_ts").alias("matched_ts"))
+    keep.extend(F.col(f"_match.{c}").alias(c) for c in value_cols)
+    return out.select(*keep)

@@ -1,0 +1,364 @@
+"""Windowed feature operators — the 1-D sequence recast of the
+reference's multiscale descriptors (SURVEY.md §2.5).
+
+Every operator here is a pure Spark SQL window expression over
+``Window.partitionBy(entity).orderBy(order)`` — JVM-side, whole-stage
+codegen, zero Python in the hot path.  The 2-D grid forms of the same
+descriptors live in :mod:`topo_descriptors_spark.operators.tiles`.
+
+Scale notes (100 TB):
+
+* All operators below share ONE window partitioning/ordering, so a
+  multi-feature select compiles to a single ``WindowExec`` with a single
+  shuffle+sort (see :func:`multiscale_features`).  Adding a scale adds an
+  expression, not a pass — the engine's answer to the reference's
+  per-scale loop (reference topo.py:132-141).
+* Partition-by-entity windows put one entity on one task.  For skewed
+  entities (one entity ≫ others) the bounded-frame operators can run on
+  salted sub-partitions with halo rows via
+  :func:`topo_descriptors_spark.operators.tiles.sequence_tiles`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.functions.cols import axis_seconds
+from topo_descriptors_spark.functions.planner import (
+    frame_half_width,
+    gaussian_weights,
+)
+
+
+def entity_window(entity: str = "entity_id", order: str = "ts") -> WindowSpec:
+    """The engine's canonical per-entity ordering."""
+    return Window.partitionBy(entity).orderBy(order)
+
+
+# ---------------------------------------------------------------------------
+# W2 — TPI (topographic position index): value minus neighborhood mean,
+# center excluded (reference topo.py:144-181: dem - conv(dem, disk)/sum).
+# ---------------------------------------------------------------------------
+
+def tpi_col(value: Column, k: int, w: WindowSpec) -> Column:
+    """``value - (sum(frame) - value) / (count(frame) - 1)`` over
+    rowsBetween(-k, k) — the center-excluded neighborhood-mean deviation.
+
+    Sufficient-statistics form: one partial-aggregated sum + count per
+    frame (Spark's WindowExec keeps a sliding frame, O(1) per row), the
+    same algebra the reference gets from its 0/1-disk convolution
+    (reference topo.py:168-170).
+    """
+    frame = w.rowsBetween(-k, k)
+    s = F.sum(value).over(frame)
+    c = F.count(value).over(frame)
+    return value - (s - value) / (c - F.lit(1))
+
+
+def tpi(
+    df: DataFrame,
+    scales_pxl: list[int],
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    prefix: str = "tpi",
+) -> DataFrame:
+    """Multi-scale TPI in one WindowExec (one shuffle, one sort)."""
+    w = entity_window(entity, order)
+    v = F.col(value)
+    cols = [
+        tpi_col(v, frame_half_width(d), w).alias(f"{prefix}_{d}")
+        for d in scales_pxl
+    ]
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# W3 — rolling std (reference topo.py:272-307): sample std over the
+# neighborhood.  Spark's stddev_samp is the same sufficient-statistics
+# algebra (sum, sum², n) as the reference's variance trick (topo.py:300-305)
+# without the int32-overflow bug.
+# ---------------------------------------------------------------------------
+
+def rolling_std_col(value: Column, k: int, w: WindowSpec) -> Column:
+    return F.stddev_samp(value).over(w.rowsBetween(-k, k))
+
+
+def rolling_std(
+    df: DataFrame,
+    scales_pxl: list[int],
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    prefix: str = "std",
+) -> DataFrame:
+    w = entity_window(entity, order)
+    v = F.col(value)
+    cols = [
+        rolling_std_col(v, frame_half_width(d), w).alias(f"{prefix}_{d}")
+        for d in scales_pxl
+    ]
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# W1 — Gaussian moving average (reference topo.py:62-80 gaussian_filter).
+# Null-aware: weights of null neighbors are dropped and the kernel is
+# renormalized over what's present (also the boundary behavior — at the
+# sequence edge the visible half-kernel is renormalized, the 1-D recast
+# of scipy's boundary handling).
+# ---------------------------------------------------------------------------
+
+def gaussian_ma_col(value: Column, sigma: float, w: WindowSpec) -> Column:
+    """Weighted moving average with Gaussian weights as a bank of
+    lag/lead terms — stays in whole-stage codegen.
+
+    For radius r = int(4*sigma + 0.5), emits 2r+1 lag expressions over a
+    single window sort.  For large sigmas (r > ~64) prefer the tile-kernel
+    FFT path (operators.tiles) — an expression bank that wide stops being
+    profitable.
+    """
+    weights = gaussian_weights(sigma)
+    r = len(weights) // 2
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i, wt in enumerate(weights):
+        off = i - r
+        v = F.lag(value, -off).over(w) if off != 0 else value
+        num = num + F.when(v.isNotNull(), v * F.lit(float(wt))).otherwise(F.lit(0.0))
+        den = den + F.when(v.isNotNull(), F.lit(float(wt))).otherwise(F.lit(0.0))
+    return F.when(value.isNotNull(), num / den)
+
+
+def gaussian_ma(
+    df: DataFrame,
+    sigmas: list[float],
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    prefix: str = "smooth",
+) -> DataFrame:
+    w = entity_window(entity, order)
+    v = F.col(value)
+    cols = [
+        gaussian_ma_col(v, s, w).alias(f"{prefix}_{str(s).replace('.', 'p')}")
+        for s in sigmas
+    ]
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# W4 — gradient / slope (reference topo.py:597-644): central difference
+# with one-sided differences at the partition edges (np.gradient
+# semantics), over a possibly-irregular time axis.
+# ---------------------------------------------------------------------------
+
+def gradient_cols(
+    value: Column, order_num: Column, w: WindowSpec
+) -> tuple[Column, Column]:
+    """(dv/dt, slope_deg): np.gradient over an irregular axis.
+
+    Interior: (v[i+1] - v[i-1]) / (t[i+1] - t[i-1]); edges fall back to
+    one-sided differences via coalesce — exactly np.gradient's edge rule
+    (reference topo.py:631-635 uses the same shifts).
+    """
+    v_next = F.coalesce(F.lead(value).over(w), value)
+    v_prev = F.coalesce(F.lag(value).over(w), value)
+    t_next = F.coalesce(F.lead(order_num).over(w), order_num)
+    t_prev = F.coalesce(F.lag(order_num).over(w), order_num)
+    dvdt = (v_next - v_prev) / (t_next - t_prev)
+    slope = F.degrees(F.atan(dvdt))
+    return dvdt, slope
+
+
+def gradient(
+    df: DataFrame,
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    order_seconds: str | None = None,
+) -> DataFrame:
+    """Adds ``dvdt`` and ``slope_deg``.  ``order_seconds``: numeric column
+    for the axis; defaults to unix seconds of ``order``."""
+    w = entity_window(entity, order)
+    t = F.col(order_seconds) if order_seconds else axis_seconds(df, order)
+    dvdt, slope = gradient_cols(F.col(value), t, w)
+    return df.select("*", dvdt.alias("dvdt"), slope.alias("slope_deg"))
+
+
+def sobel_cols(value: Column, w: WindowSpec) -> tuple[Column, Column]:
+    """1-D Sobel-path fallback for sigma<=1 (reference topo.py:658-685):
+    fixed ±1 stencil (v[i+1]-v[i-1])/2 with one-sided edges."""
+    v_next = F.coalesce(F.lead(value).over(w), value)
+    v_prev = F.coalesce(F.lag(value).over(w), value)
+    edge = F.lead(value).over(w).isNull() | F.lag(value).over(w).isNull()
+    d = F.when(edge, v_next - v_prev).otherwise((v_next - v_prev) / 2)
+    return d, F.degrees(F.atan(d))
+
+
+# ---------------------------------------------------------------------------
+# W7 — backfill / forward-fill / nearest fill (reference helpers.py:137-154
+# interpolate_na method="nearest", fill_value="extrapolate").
+# ---------------------------------------------------------------------------
+
+def fill_cols(
+    value: Column, order_num: Column, w: WindowSpec
+) -> dict[str, Column]:
+    """Returns {ffill, bfill, nearest_fill} columns.
+
+    nearest_fill picks whichever non-null neighbor (previous vs next) is
+    closer on the order axis, ties to the previous one; extrapolates at
+    the edges (matches the reference's nearest+extrapolate fill).
+    """
+    past = w.rowsBetween(Window.unboundedPreceding, 0)
+    future = w.rowsBetween(0, Window.unboundedFollowing)
+    ffill = F.last(value, ignorenulls=True).over(past)
+    bfill = F.first(value, ignorenulls=True).over(future)
+    t_prev = F.last(
+        F.when(value.isNotNull(), order_num), ignorenulls=True
+    ).over(past)
+    t_next = F.first(
+        F.when(value.isNotNull(), order_num), ignorenulls=True
+    ).over(future)
+    nearest = F.when(
+        bfill.isNull() | (t_prev.isNotNull() & ((order_num - t_prev) <= (t_next - order_num))),
+        ffill,
+    ).otherwise(bfill)
+    return {"ffill": ffill, "bfill": bfill, "nearest_fill": nearest}
+
+
+def backfill(
+    df: DataFrame,
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    order_seconds: str | None = None,
+) -> DataFrame:
+    w = entity_window(entity, order)
+    t = F.col(order_seconds) if order_seconds else axis_seconds(df, order)
+    cols = fill_cols(F.col(value), t, w)
+    return df.select("*", *[c.alias(n) for n, c in cols.items()])
+
+
+# ---------------------------------------------------------------------------
+# W9 — sessionize: gap > threshold starts a new session; session id is the
+# running count of gap flags (north-rule feature; no reference analog).
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float,
+    entity: str = "entity_id",
+    order: str = "ts",
+    out: str = "session_id",
+) -> DataFrame:
+    """``session_id`` is 0-based per entity; a row starts a new session
+    when it is the entity's first row or its gap to the previous row
+    exceeds ``gap_seconds``.  Batch analog of F.session_window."""
+    w = entity_window(entity, order)
+    t = axis_seconds(df, order)
+    prev_t = F.lag(t).over(w)
+    new_sess = F.when(
+        prev_t.isNull() | ((t - prev_t) > F.lit(float(gap_seconds))), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.lit(1)
+    )
+    return df.select("*", sess.cast("long").alias(out))
+
+
+# ---------------------------------------------------------------------------
+# W6 — Sx 1-D: one-sided directional max of elevation angle
+# (reference topo.py:775-858).  Each row looks strictly backward over
+# offsets r_min..R and takes the max of atan((v[-k] - v - h) / dist(k)) —
+# as-of semantics: never reads ahead.
+# ---------------------------------------------------------------------------
+
+def sx_1d_col(
+    value: Column,
+    w: WindowSpec,
+    radius_steps: int,
+    radius_min_steps: int = 1,
+    height: float = 0.0,
+    step_meters: float = 1.0,
+) -> Column:
+    """Bank of backward-lag terms reduced with GREATEST (null-ignoring,
+    SQL semantics — the engine's F.max over the candidate set, reference
+    topo.py:951 np.nanmax)."""
+    terms = []
+    for k in range(radius_min_steps, radius_steps + 1):
+        dist = float(k) * float(step_meters)
+        prev = F.lag(value, k).over(w)
+        terms.append(F.degrees(F.atan((prev - value - F.lit(float(height))) / F.lit(dist))))
+    if len(terms) == 1:
+        return terms[0]
+    return F.greatest(*terms)
+
+
+def sx_1d(
+    df: DataFrame,
+    radius_steps: int,
+    radius_min_steps: int = 1,
+    height: float = 0.0,
+    step_meters: float = 1.0,
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    out: str = "sx",
+) -> DataFrame:
+    w = entity_window(entity, order)
+    c = sx_1d_col(
+        F.col(value), w, radius_steps, radius_min_steps, height, step_meters
+    )
+    return df.select("*", c.alias(out))
+
+
+# ---------------------------------------------------------------------------
+# W11 — multi-scale fan-out: every descriptor at every scale in ONE pass.
+# ---------------------------------------------------------------------------
+
+def multiscale_features(
+    df: DataFrame,
+    scales_pxl: list[int],
+    sigmas: list[float] | None = None,
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+) -> DataFrame:
+    """TPI + rolling std (+ optional Gaussian MA) for every scale, one
+    WindowExec: all frames share partitionBy(entity).orderBy(order), so
+    Spark sorts once and streams every frame over the same sorted run —
+    the engine's replacement for the reference's scale loop
+    (reference topo.py:53-59, scripts:25-38)."""
+    w = entity_window(entity, order)
+    v = F.col(value)
+    cols: list[Column] = []
+    for d in scales_pxl:
+        k = frame_half_width(d)
+        cols.append(tpi_col(v, k, w).alias(f"tpi_{d}"))
+        cols.append(rolling_std_col(v, k, w).alias(f"std_{d}"))
+    for s in sigmas or []:
+        cols.append(gaussian_ma_col(v, s, w).alias(f"smooth_{str(s).replace('.', 'p')}"))
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# P3 — null-mask reimposition (reference topo.py:57,139,...: descriptors
+# are NaN wherever the input was NaN, even after filling).
+# ---------------------------------------------------------------------------
+
+def reimpose_nulls(
+    df: DataFrame, mask: str, feature_cols: list[str]
+) -> DataFrame:
+    """NULL out features where the original value was null — the carried
+    boolean-mask version of the reference's (row, col) NaN-index replay."""
+    exprs = [
+        F.when(F.col(mask), F.lit(None)).otherwise(F.col(c)).alias(c)
+        if c in feature_cols
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*exprs)
