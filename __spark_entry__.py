@@ -1,38 +1,364 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is built from the public operators of
+``topo_descriptors_spark`` (SURVEY.md §2) and has a matching DuckDB
+oracle in ``oracle_sql()``; the driver compares them at sf=0.01
+(row count + schema + order-insensitive value hash).
+
+Float outputs are rounded to 6 decimals on BOTH sides so engine-order
+floating-point noise (different summation order between Spark and
+DuckDB) cannot flip the value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from topo_descriptors_spark.functions.planner import gaussian_weights
+from topo_descriptors_spark.operators import window as W
+from topo_descriptors_spark.operators.asof import asof_join
+from topo_descriptors_spark.sources.io import read_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_R = 6  # float rounding for hash stability
+
+
+def _r(c, n=_R):
+    return F.round(c, n)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# a deterministically-nulled value column to exercise fill operators
+_NULLED = "CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END"
+
+
+def _with_nulled(df: DataFrame) -> DataFrame:
+    return df.withColumn("value_n", F.expr(_NULLED))
+
+
+# ---------------------------------------------------------------------------
+# window features (SURVEY.md §2.5) over events(user_id, ts, value)
+# ---------------------------------------------------------------------------
+
+def q_tpi_multiscale(spark, sf_dir):
+    df = W.tpi(_events(spark, sf_dir), [3, 9, 25], value="value",
+               entity="user_id", order="ts")
+    return df.select(
+        "event_id", "user_id",
+        _r("tpi_3").alias("tpi_3"),
+        _r("tpi_9").alias("tpi_9"),
+        _r("tpi_25").alias("tpi_25"),
+    )
+
+
+def q_rolling_std(spark, sf_dir):
+    df = W.rolling_std(_events(spark, sf_dir), [9, 25], value="value",
+                       entity="user_id", order="ts")
+    return df.select(
+        "event_id", "user_id",
+        _r("std_9").alias("std_9"),
+        _r("std_25").alias("std_25"),
+    )
+
+
+def q_gaussian_ma(spark, sf_dir):
+    df = W.gaussian_ma(_events(spark, sf_dir), [1.0], value="value",
+                       entity="user_id", order="ts")
+    return df.select("event_id", "user_id", _r("smooth_1p0").alias("smooth"))
+
+
+def q_gradient(spark, sf_dir):
+    df = W.gradient(_events(spark, sf_dir), value="value",
+                    entity="user_id", order="ts")
+    return df.select(
+        "event_id", "user_id",
+        _r(F.col("dvdt") * 1000).alias("dvdt_k"),  # per-ms scale keeps 6dp meaningful
+        _r("slope_deg").alias("slope_deg"),
+    )
+
+
+def q_backfill(spark, sf_dir):
+    df = W.backfill(_with_nulled(_events(spark, sf_dir)), value="value_n",
+                    entity="user_id", order="ts")
+    return df.select(
+        "event_id", "user_id",
+        _r("ffill").alias("ffill"),
+        _r("bfill").alias("bfill"),
+        _r("nearest_fill").alias("nearest_fill"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    df = W.sessionize(_events(spark, sf_dir), gap_seconds=21600,
+                      entity="user_id", order="ts")
+    return df.select("event_id", "user_id", "session_id")
+
+
+def q_sx_shelter(spark, sf_dir):
+    df = W.sx_1d(_events(spark, sf_dir), radius_steps=5, radius_min_steps=1,
+                 height=5.0, step_meters=10.0, value="value",
+                 entity="user_id", order="ts")
+    return df.select("event_id", "user_id", _r("sx").alias("sx"))
+
+
+# ---------------------------------------------------------------------------
+# as-of joins (SURVEY.md §2.3 J1)
+# ---------------------------------------------------------------------------
+
+def q_asof_events(spark, sf_dir):
+    """Each click sees the user's latest purchase at-or-before it."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("q_id"), "user_id", F.col("ts").alias("q_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="user_id", q_ts="q_ts", s_ts="ts")
+    return out.select(
+        "q_id", "user_id", "q_ts", "matched_ts",
+        _r("purchase_value").alias("purchase_value"),
+    )
+
+
+def q_asof_orders_strict(spark, sf_dir):
+    """Each order sees the customer's previous (strictly earlier) order's
+    total price; same-day orders pre-aggregated to max for determinism."""
+    orders = read_table(spark, sf_dir, "orders")
+    state = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_totalprice").alias("prev_price")
+    )
+    q = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    out = asof_join(q, state, on="o_custkey", q_ts="o_orderdate",
+                    s_ts="o_orderdate", value_cols=["prev_price"], strict=True)
+    return out.select(
+        "o_orderkey", "o_custkey", "matched_ts",
+        _r("prev_price").alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def q_top_event(spark, sf_dir):
+    """Deterministic top-1 per user: running-max/argmax recast (A5)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_type").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", _r("value").alias("top_value"))
+    )
+
+
+def q_quantile(spark, sf_dir):
+    """Exact percentiles per event_type (A7 quantile normalization)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        _r(F.expr("percentile(value, 0.05)")).alias("p05"),
+        _r(F.expr("percentile(value, 0.5)")).alias("p50"),
+        _r(F.expr("percentile(value, 0.95)")).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_znorm(spark, sf_dir):
+    """Global z-normalization within event_type (A1)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "event_type", _r(z).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multiscale window features + sessionize + as-of context
+    on sf0.001 — the engine's whole lifecycle in one plan."""
+    ev = read_table(spark, SF_SMOKE, "events")
+    feats = W.multiscale_features(ev, [3, 9, 25], sigmas=[1.0],
+                                  value="value", entity="user_id", order="ts")
+    feats = W.sessionize(feats, gap_seconds=21600, entity="user_id", order="ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase")
+    )
+    q = feats.select("event_id", "user_id", F.col("ts").alias("q_ts"),
+                     "tpi_9", "std_9", "smooth_1p0", "session_id")
+    return asof_join(q, purchases, on="user_id", q_ts="q_ts", s_ts="ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w_tpi_multiscale": q_tpi_multiscale,
+        "w_rolling_std": q_rolling_std,
+        "w_gaussian_ma": q_gaussian_ma,
+        "w_gradient": q_gradient,
+        "w_backfill": q_backfill,
+        "w_sessionize": q_sessionize,
+        "w_sx_shelter": q_sx_shelter,
+        "j_asof_events": q_asof_events,
+        "j_asof_orders_strict": q_asof_orders_strict,
+        "a_top_event": q_top_event,
+        "a_quantile": q_quantile,
+        "a_znorm": q_znorm,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _tpi_sql(k: int, alias: str) -> str:
+    return (
+        f"round(value - (sum(value) OVER w{k} - value) / (count(value) OVER w{k} - 1), {_R}) AS {alias}"
+    )
+
+
+def _gauss_terms() -> tuple[str, str]:
+    wts = gaussian_weights(1.0)
+    r = len(wts) // 2
+    num, den = [], []
+    for i, wt in enumerate(wts):
+        off = i - r
+        v = "value" if off == 0 else (
+            f"lag(value, {off}) OVER w" if off > 0 else f"lead(value, {-off}) OVER w"
+        )
+        num.append(f"CASE WHEN {v} IS NOT NULL THEN {v} * {wt!r} ELSE 0.0 END")
+        den.append(f"CASE WHEN {v} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+def _sx_terms() -> str:
+    terms = [
+        f"degrees(atan((lag(value, {k}) OVER w - value - 5.0) / {k * 10.0}))"
+        for k in range(1, 6)
+    ]
+    return "greatest(" + ", ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gnum, gden = _gauss_terms()
+    return {
+        "w_tpi_multiscale": f"""
+            SELECT event_id, user_id,
+                   {_tpi_sql(1, 'tpi_3').replace('w1', 'w1')},
+                   {_tpi_sql(4, 'tpi_9')},
+                   {_tpi_sql(12, 'tpi_25')}
+            FROM events
+            WINDOW
+              w1 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+              w4 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING),
+              w12 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        """,
+        "w_rolling_std": f"""
+            SELECT event_id, user_id,
+                   round(stddev_samp(value) OVER w4, {_R}) AS std_9,
+                   round(stddev_samp(value) OVER w12, {_R}) AS std_25
+            FROM events
+            WINDOW
+              w4 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING),
+              w12 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        """,
+        "w_gaussian_ma": f"""
+            SELECT event_id, user_id,
+                   round(CASE WHEN value IS NOT NULL THEN ({gnum}) / ({gden}) END, {_R}) AS smooth
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "w_gradient": f"""
+            SELECT event_id, user_id,
+              round(1000 * (coalesce(lead(value) OVER w, value) - coalesce(lag(value) OVER w, value))
+                / (coalesce(epoch(lead(ts) OVER w), epoch(ts)) - coalesce(epoch(lag(ts) OVER w), epoch(ts))), {_R}) AS dvdt_k,
+              round(degrees(atan(
+                (coalesce(lead(value) OVER w, value) - coalesce(lag(value) OVER w, value))
+                / (coalesce(epoch(lead(ts) OVER w), epoch(ts)) - coalesce(epoch(lag(ts) OVER w), epoch(ts)))
+              )), {_R}) AS slope_deg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "w_backfill": f"""
+            WITH base AS (
+              SELECT *, {_NULLED} AS value_n, epoch(ts) AS t FROM events
+            ), b AS (
+              SELECT event_id, user_id, t,
+                last_value(value_n IGNORE NULLS) OVER wp AS ffill,
+                first_value(value_n IGNORE NULLS) OVER wf AS bfill,
+                last_value(CASE WHEN value_n IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS t_prev,
+                first_value(CASE WHEN value_n IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS t_next
+              FROM base
+              WINDOW
+                wp AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id, round(ffill, {_R}) AS ffill, round(bfill, {_R}) AS bfill,
+              round(CASE WHEN bfill IS NULL OR (t_prev IS NOT NULL AND (t - t_prev) <= (t_next - t))
+                    THEN ffill ELSE bfill END, {_R}) AS nearest_fill
+            FROM b
+        """,
+        "w_sessionize": """
+            SELECT event_id, user_id,
+              sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS session_id
+            FROM (
+              SELECT *, lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+              FROM events
+            )
+        """,
+        "w_sx_shelter": f"""
+            SELECT event_id, user_id, round({_sx_terms()}, {_R}) AS sx
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "j_asof_events": f"""
+            SELECT c.event_id AS q_id, c.user_id, c.ts AS q_ts,
+                   p.ts AS matched_ts, round(p.value, {_R}) AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "j_asof_orders_strict": f"""
+            SELECT q.o_orderkey, q.o_custkey, s.o_orderdate AS matched_ts,
+                   round(s.prev_price, {_R}) AS prev_price
+            FROM orders q
+            ASOF LEFT JOIN (
+              SELECT o_custkey, o_orderdate, max(o_totalprice) AS prev_price
+              FROM orders GROUP BY 1, 2
+            ) s ON q.o_custkey = s.o_custkey AND q.o_orderdate > s.o_orderdate
+        """,
+        "a_top_event": f"""
+            SELECT user_id, event_type, round(value, {_R}) AS top_value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_type DESC, event_id DESC
+              ) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "a_quantile": f"""
+            SELECT event_type,
+                   round(quantile_cont(value, 0.05), {_R}) AS p05,
+                   round(quantile_cont(value, 0.5), {_R}) AS p50,
+                   round(quantile_cont(value, 0.95), {_R}) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "a_znorm": f"""
+            SELECT event_id, event_type,
+                   round((value - avg(value) OVER w) / stddev_samp(value) OVER w, {_R}) AS z
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
+    }

@@ -1,0 +1,124 @@
+"""Mimic the driver's correctness gate locally.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, schema
+(column names) and order-insensitive values.  Usage:
+
+    python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from topo_descriptors_spark.session import get_spark
+from topo_descriptors_spark.sources.io import TPCH_TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(a.columns) != sorted(b.columns):
+        problems.append(f"schema: spark={sorted(a.columns)} duck={sorted(b.columns)}")
+        return problems
+    if len(a) != len(b):
+        problems.append(f"rows: spark={len(a)} duck={len(b)}")
+        return problems
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_float_dtype(x):
+            ok = np.allclose(
+                x.to_numpy(float), y.to_numpy(float), atol=1e-9, equal_nan=True
+            )
+        else:
+            ok = x.equals(y) or (x.isna() == y.isna()).all() and (
+                x.dropna() == y.dropna()
+            ).all()
+        if not ok:
+            diff = (~((x == y) | (x.isna() & y.isna()))).sum()
+            problems.append(f"values[{c}]: {diff} mismatched rows")
+    return problems
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    spark = get_spark("selfcheck", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            spark_pd = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        t1 = time.monotonic()
+        if name not in oracles:
+            status = "ROWS-ONLY"
+            print(f"{status:9s} {name}: {len(spark_pd)} rows ({t1-t0:.1f}s)")
+            if len(spark_pd) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            duck_pd = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pd, duck_pd)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK        {name}: {len(spark_pd)} rows (spark {t1-t0:.1f}s)")
+    # smoke-run entry()
+    try:
+        res = entrymod.entry(spark)
+        n = res.count()
+        print(f"OK        entry(): {n} rows, {len(res.columns)} cols")
+    except Exception as e:
+        failures += 1
+        print(f"FAIL entry(): {e}")
+    print("RESULT:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
