@@ -18,8 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from topo_descriptors_spark.functions.planner import gaussian_weights
+from topo_descriptors_spark.operators import dedup, similarity, text
 from topo_descriptors_spark.operators import window as W
 from topo_descriptors_spark.operators.asof import asof_join
+from topo_descriptors_spark.operators.dedup import minhash_params
+from topo_descriptors_spark.operators.text import HASH_PRIME
 from topo_descriptors_spark.sources.io import read_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -181,6 +184,92 @@ def q_znorm(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "pred_lang")
+
+
+def q_quality(spark, sf_dir):
+    df = text.quality_score(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "n_tokens",
+        _r("mean_word_len").alias("mean_word_len"),
+        _r("stopword_ratio").alias("stopword_ratio"),
+        _r("symbol_ratio").alias("symbol_ratio"),
+        _r("quality").alias("quality"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# dedup (documents table)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_groups(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir)).select(
+        "content_hash", "keep_id", "dup_count"
+    )
+
+
+def q_minhash_sig(spark, sf_dir):
+    sig = dedup.minhash_signature(_docs(spark, sf_dir), num_perms=8)
+    return sig.select(
+        "doc_id", *[F.col("minhash")[i].alias(f"mh_{i}") for i in range(8)]
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    # probabilistic banding → rows-only check by the driver; the operator's
+    # recall/precision is pinned in tests/test_text_dedup.py instead
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), num_perms=16, bands=16, threshold=0.4
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_n=3, threshold=0.12, max_df=100
+    ).select("id_a", "id_b", _r("jaccard").alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    out = similarity.cosine_topk(
+        read_table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id"
+    )
+    return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
+
+
+def q_ann_topk(spark, sf_dir):
+    # LSH-bucketed ANN — approximate by design → rows-only driver check;
+    # recall vs brute force pinned in tests/test_similarity.py
+    out = similarity.ann_topk_lsh(
+        read_table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id", n_planes=4
+    )
+    return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
 
@@ -213,6 +302,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_top_event": q_top_event,
         "a_quantile": q_quantile,
         "a_znorm": q_znorm,
+        "t_token_count": q_token_count,
+        "t_lang_id": q_lang_id,
+        "t_quality": q_quality,
+        "t_fingerprint": q_fingerprint,
+        "d_exact_groups": q_exact_dedup_groups,
+        "d_minhash_sig": q_minhash_sig,
+        "d_minhash_pairs": q_minhash_pairs,
+        "d_ngram_jaccard": q_ngram_jaccard,
+        "d_simhash": q_simhash,
+        "s_cosine_topk": q_cosine_topk,
+        "s_ann_topk": q_ann_topk,
     }
 
 
@@ -246,6 +346,79 @@ def _sx_terms() -> str:
         for k in range(1, 6)
     ]
     return "greatest(" + ", ".join(terms) + ")"
+
+
+# DuckDB building blocks mirroring topo_descriptors_spark.operators.text
+_DW = r"list_filter(string_split_regex(text, '\s+'), w -> w <> '')"
+_DH = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+_D_SHINGLES = (
+    "CASE WHEN len(wl) >= 3 THEN list_transform(generate_series(1, len(wl) - 2), "
+    "i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) ELSE [] END"
+)
+
+
+def _d_markers(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(lw, x -> list_contains([{lst}], x)))"
+
+
+def _d_lang_sql() -> str:
+    from topo_descriptors_spark.operators.text import LANG_MARKERS
+
+    scores = ", ".join(
+        f"{_d_markers(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 list_transform({_DW}, x -> lower(x)) AS lw
+          FROM documents
+        ), s AS (SELECT doc_id, lang, {scores} FROM w)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM s
+    """
+
+
+def _d_minhash_sig_sql(num_perms: int = 8) -> str:
+    h = _DH.format(s="s")
+    cols = ", ".join(
+        f"(list_min(list_transform(hs, h -> ((h % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME})))::BIGINT AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_perms))
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_DW} AS wl FROM documents),
+        sh AS (SELECT doc_id, text, {_D_SHINGLES} AS shl FROM w),
+        hs AS (
+          SELECT doc_id,
+                 CASE WHEN len(shl) > 0
+                      THEN list_transform(shl, s -> {h})
+                      ELSE [{_DH.format(s='text')}] END AS hs
+          FROM sh
+        )
+        SELECT doc_id, {cols} FROM hs
+    """
+
+
+def _d_simhash_sql() -> str:
+    h = _DH.format(s="x")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x // {1 << b}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
+        h AS (SELECT doc_id, wl,
+                     list_transform(wl, x -> {h} % 4294967296) AS hs FROM w)
+        SELECT doc_id,
+               (CASE WHEN len(wl) > 0 THEN ({terms}) ELSE 0 END)::BIGINT AS simhash
+        FROM h
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -360,5 +533,87 @@ def oracle_sql() -> dict[str, str]:
                    round((value - avg(value) OVER w) / stddev_samp(value) OVER w, {_R}) AS z
             FROM events
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "t_token_count": f"SELECT doc_id, len({_DW}) AS n_tokens FROM documents",
+        "t_lang_id": _d_lang_sql(),
+        "t_quality": f"""
+            WITH w AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     list_transform({_DW}, x -> lower(x)) AS lw,
+                     len({_DW}) AS n_tok,
+                     length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum
+              FROM documents
+            ), m AS (
+              SELECT doc_id, n_tok AS n_tokens,
+                CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS mean_word_len,
+                CASE WHEN n_tok > 0 THEN {_d_markers(["the", "and", "of", "to", "is"])} / n_tok ELSE 0.0 END AS stopword_ratio,
+                CASE WHEN n_chars > 0 THEN (n_chars - alnum) / n_chars ELSE 0.0 END AS symbol_ratio
+              FROM w
+            )
+            SELECT doc_id, n_tokens,
+                   round(mean_word_len, {_R}) AS mean_word_len,
+                   round(stopword_ratio, {_R}) AS stopword_ratio,
+                   round(symbol_ratio, {_R}) AS symbol_ratio,
+                   round(
+                     (CASE WHEN n_tokens BETWEEN 16 AND 4096 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN symbol_ratio <= 0.1 THEN 0.25 ELSE 0.0 END), {_R}) AS quality
+            FROM m
+        """,
+        "t_fingerprint": f"""
+            WITH w AS (SELECT doc_id, text, {_DW} AS wl FROM documents),
+            sh AS (SELECT doc_id, text, {_D_SHINGLES} AS shl FROM w)
+            SELECT doc_id,
+                   coalesce(
+                     list_min(list_transform(shl, s -> {_DH.format(s='s')})),
+                     {_DH.format(s='text')}
+                   ) AS fingerprint
+            FROM sh
+        """,
+        "d_exact_groups": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "d_minhash_sig": _d_minhash_sig_sql(8),
+        "d_ngram_jaccard": f"""
+            WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
+            s0 AS (SELECT doc_id, {_D_SHINGLES} AS shl FROM w),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest(list_transform(shl, s -> {_DH.format(s='s')})) AS sh
+                FROM s0
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            freq AS (SELECT sh, count(*) AS df_ FROM sh GROUP BY 1),
+            kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON s.sh = f.sh WHERE f.df_ <= 100),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (na.n_sh + nb.n_sh - n_inter), {_R}) AS jaccard
+            FROM inter
+            JOIN sizes na ON inter.id_a = na.doc_id
+            JOIN sizes nb ON inter.id_b = nb.doc_id
+            WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.12
+        """,
+        "d_simhash": _d_simhash_sql(),
+        "s_cosine_topk": f"""
+            WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cosine
+              FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+              FROM p
+            )
+            SELECT id_a, id_b, rank, round(cosine, {_R}) AS cosine FROM r WHERE rank <= 5
         """,
     }

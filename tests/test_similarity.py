@@ -1,0 +1,81 @@
+"""Similarity search: brute-force correctness vs numpy, ANN recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(3)
+    n, d = 120, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    # plant two near-duplicates
+    vecs[7] = vecs[3] + 0.001 * rng.standard_normal(d).astype(np.float32)
+    vecs[50] = vecs[20] * 1.7  # same direction, different magnitude
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, vecs
+
+
+def _numpy_topk(vecs, k):
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 9)
+    np.fill_diagonal(cos, -np.inf)
+    out = {}
+    for i in range(len(vecs)):
+        # order by cosine desc then id asc (matching the engine tie rule)
+        order = sorted(range(len(vecs)), key=lambda j: (-cos[i, j], j))
+        out[i] = [(j, cos[i, j]) for j in order[:k]]
+    return out
+
+
+def test_cosine_topk_vs_numpy(emb):
+    df, vecs = emb
+    out = S.cosine_topk(df, k=5).toPandas()
+    expect = _numpy_topk(vecs.astype(np.float64), 5)
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.id_a, []).append((r.rank, r.id_b, r.cosine))
+    assert len(got) == len(vecs)
+    for i, lst in got.items():
+        lst.sort()
+        ids = [j for _, j, _ in lst]
+        exp_ids = [j for j, _ in expect[i]]
+        assert ids == exp_ids, f"row {i}: {ids} != {exp_ids}"
+        for (_, _, c), (_, ce) in zip(lst, expect[i]):
+            assert abs(c - ce) < 1e-6
+
+
+def test_near_dup_pairs(emb):
+    df, _ = emb
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.99).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (3, 7) in found
+    assert (20, 50) in found  # same direction => cosine ~1 despite scaling
+
+
+def test_ann_recall(emb):
+    df, vecs = emb
+    exact = S.cosine_topk(df, k=3).toPandas()
+    approx = S.ann_topk_lsh(df, k=3, n_planes=2).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    a = {(r.id_a, r.id_b) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # 2 planes on 120 random vectors -> ~4 buckets of ~30; measured
+    # deterministic recall 0.544; the planted near-dup must survive
+    assert recall > 0.4, recall
+    assert (3, 7) in a
+
+
+def test_ann_plan_is_bucketed_join(emb):
+    df, _ = emb
+    plan = S.ann_topk_lsh(df, k=3, n_planes=4)._jdf.queryExecution().executedPlan().toString()
+    # candidate join must be an equi-join on the bucket (hash or sort-merge),
+    # NOT a cartesian/broadcast-nested-loop
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,127 @@
+"""Text-analysis + dedup operators: correctness on crafted corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        ("d00", "the quick brown fox jumps over the lazy dog again and again", "en"),
+        ("d01", "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of d00
+        ("d02", "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+        ("d03", "der schnelle braune fuchs springt und ist nicht langsam", "de"),
+        ("d04", "le chat et le chien est dans les maisons des villes", "fr"),
+        ("d05", "completely unrelated content about spark window aggregation", "en"),
+        ("d06", "xqz zzz", "und"),
+        ("d07", "  the   quick  brown fox jumps over the lazy dog again and again ", "en"),  # ws-variant of d00
+    ]
+    rows = []
+    for i, (did, t, lang) in enumerate(base):
+        rows.append((did, t, lang))
+    # bulk distinct docs so LSH buckets aren't degenerate
+    for i in range(50):
+        rows.append((f"x{i:02d}", f"document number {i} talks about topic {i * 7 % 13} "
+                                  f"with unique content token{i} and filler words", "en"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    df.cache().count()
+    return df
+
+
+def test_token_count(docs):
+    out = {r.doc_id: r.n_tokens for r in text.token_count(docs).collect()}
+    assert out["d00"] == 12
+    assert out["d07"] == 12  # empty tokens dropped
+    assert out["d06"] == 2
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(docs).collect()}
+    assert out["d00"] == "en"
+    assert out["d03"] == "de"
+    assert out["d04"] == "fr"
+    assert out["d06"] == "und"
+
+
+def test_quality_score(docs):
+    out = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    assert 0.0 <= out["d06"].quality <= 0.5
+    assert out["d00"].quality >= 0.5
+    assert out["d00"].stopword_ratio > 0.1
+
+
+def test_fingerprint_stability(docs):
+    out = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert out["d00"] == out["d01"]  # identical docs
+    assert out["d00"] == out["d07"]  # whitespace-normalized variant
+    assert out["d00"] != out["d05"]
+    # short doc fallback is defined
+    assert out["d06"] is not None
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert "d00" in kept and "d01" not in kept
+    groups = dedup.exact_dedup_groups(docs).toPandas()
+    assert groups["dup_count"].max() == 2
+    assert groups["dup_count"].sum() == docs.count()
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signature(docs, num_perms=16)
+    row = sig.where(F.col("doc_id") == "d00").first()
+    assert len(row.minhash) == 16
+    # identical docs -> identical signatures
+    sigs = {r.doc_id: tuple(r.minhash) for r in sig.collect()}
+    assert sigs["d00"] == sigs["d01"] == sigs["d07"]
+    assert sigs["d00"] != sigs["d05"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    # 1-row bands (bands = num_perms) maximize candidate recall; the
+    # est_jaccard threshold then prunes false positives.  d00-d02 share
+    # jaccard 7/13 and agree on 8/16 signature slots (deterministic).
+    pairs = dedup.minhash_dedup_pairs(docs, bands=16, threshold=0.4).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert ("d00", "d01") in found
+    assert ("d00", "d07") in found
+    assert ("d00", "d02") in found
+    # exact dups agree on every slot
+    est = {tuple(sorted((a, b))): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.est_jaccard)}
+    assert est[("d00", "d01")] == 1.0
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    m = {(a, b): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    assert m[("d00", "d01")] == 1.0
+    assert m[("d00", "d07")] == 1.0
+    j02 = m[("d00", "d02")]
+    # one word changed out of 12 -> 3 of 10 distinct shingles differ;
+    # jaccard = 7 / 13
+    assert np.isclose(j02, 7 / 13)
+    # unrelated docs absent
+    assert ("d00", "d05") not in m
+
+
+def test_simhash_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sh["d00"], sh["d01"]) == 0
+    assert hamming(sh["d00"], sh["d07"]) == 0
+    assert hamming(sh["d00"], sh["d02"]) <= 6
+    assert hamming(sh["d00"], sh["d05"]) > 6
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert ("d00", "d01") in found and ("d00", "d07") in found
+
+
+def test_simhash_empty_doc(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ["e"], "text": ["   "]}))
+    assert dedup.simhash(df).first().simhash == 0

@@ -1,0 +1,331 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are pure JVM-side DataFrame pipelines (array lambdas + joins — no
+Python in the hot path) built on the portable md5-based hash so every
+one of them can be cross-checked by an exact DuckDB oracle.
+
+Scale design (the 100-TB story):
+
+* exact_dedup — one hash-groupBy; map-side partial aggregation makes the
+  shuffle proportional to the number of *distinct* contents.
+* MinHash/LSH — signatures are computed per-row (no shuffle); the only
+  shuffle is the band-bucket self-join, whose key (band_id, band_key) is
+  high-cardinality and therefore well-distributed.  Super-frequent
+  band buckets (boilerplate docs) are capped with ``max_bucket`` to
+  bound the quadratic pair blowup — the cap is reported, not silent.
+* n-gram Jaccard — the shingle-equality join carries a document-
+  frequency cap (``max_df``) that drops stop-shingles; without it one
+  boilerplate shingle shared by 10^6 docs would create 10^12 join rows.
+* SimHash — 32-bit signature per doc; candidate pairs via 8-bit chunk
+  banding (pigeonhole: hamming<=3 pairs share at least one of 4 chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators.text import (
+    HASH_PRIME,
+    PORTABLE_HASH_SQL,
+    portable_hash,
+    shingle_hashes_sql,
+    words_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content: (content_hash, keep_id = min id,
+    dup_count).  Map-side combine keeps the shuffle at |distinct| rows."""
+    return (
+        df.groupBy(F.md5(F.col(text).cast("binary")).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Filter to one representative row (min id) per distinct content.
+    Window form — one shuffle, no join back."""
+    w = Window.partitionBy(F.md5(F.col(text).cast("binary"))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_params(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation parameters (a_i, b_i) over the
+    31-bit prime field; a_i != 0."""
+    params = []
+    for i in range(1, num_perms + 1):
+        a = (1 + 2654435761 * i) % HASH_PRIME or 1
+        b = (40503 * i + 17) % HASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    df: DataFrame,
+    text: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    """Adds ``minhash`` (array<bigint>, one min per permutation).
+
+    Shingle hashes are reduced mod the 31-bit prime so the affine
+    re-hash (a*h+b) % p stays inside int64 in both Spark and DuckDB.
+    Docs with no shingle fall back to the whole-text hash (single-element
+    set) so the signature is always defined.
+    """
+    base = (
+        f"coalesce(nullif({shingle_hashes_sql(text, shingle_n)}, array()), "
+        f"array({PORTABLE_HASH_SQL.format(col=text)}))"
+    )
+    sig_exprs = [
+        f"array_min(transform({base}, h -> ((h % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME}))"
+        for a, b in minhash_params(num_perms)
+    ]
+    return df.withColumn(out, F.expr("array(" + ", ".join(sig_exprs) + ")"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig: str = "minhash",
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
+    band.  Buckets larger than ``max_bucket`` docs are dropped (reported
+    by the caller via ``lsh_bucket_stats``) to bound the self-join."""
+    n = df.select(F.size(sig)).first()[0]
+    rows_per_band = n // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            *[F.col(sig)[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
+    )
+    counts = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+    small = banded.join(
+        counts.where(F.col("_n") <= max_bucket), ["band_id", "band_key"]
+    ).select(id_col, "band_id", "band_key")
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str = "doc_id", sig: str = "minhash", bands: int = 4
+) -> DataFrame:
+    """Bucket-size distribution for skew inspection / cap reporting."""
+    n = df.select(F.size(sig)).first()[0]
+    rows_per_band = n // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            *[F.col(sig)[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    banded = df.select(
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+    )
+    return banded.groupBy("band_id", "band_key").count()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs; optionally verified with the
+    exact signature-agreement fraction (est_jaccard) >= threshold."""
+    signed = minhash_signature(df, text, num_perms, shingle_n)
+    pairs = lsh_candidate_pairs(signed, id_col, bands=bands)
+    sigs = signed.select(F.col(id_col), F.col("minhash"))
+    out = (
+        pairs.join(sigs.withColumnsRenamed({id_col: "id_a", "minhash": "sig_a"}), "id_a")
+        .join(sigs.withColumnsRenamed({id_col: "id_b", "minhash": "sig_b"}), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_perms)),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    if threshold is not None:
+        out = out.where(F.col("est_jaccard") >= F.lit(float(threshold)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, relational)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word shingles for all pairs
+    sharing at least one (non-stop) shingle.
+
+    ``max_df`` drops shingles present in more than that many docs before
+    the self-join — the stop-shingle cap that keeps the join linear-ish
+    at corpus scale.  Exactness caveat: a pair whose every common
+    shingle is capped is missed; with threshold >= 0.5 such pairs would
+    need most of their content to be boilerplate.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.expr(shingle_hashes_sql(text, shingle_n))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    kept = sh.join(freq.where(F.col("df_") <= max_df), "sh").select(id_col, "sh")
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
+    """32-bit SimHash over word hashes: bit b is set iff more word hashes
+    have bit b set than not.  Whole computation is array lambdas over the
+    word-hash array — one pass, no shuffle."""
+    return df.withColumn(out, F.expr(_simhash_sql(text)))
+
+
+def _simhash_sql(text: str) -> str:
+    """SQL expression for the 32-bit simhash (shared with the oracle
+    builder).  Uses aggregate() to fold the word-hash array once per bit
+    without a correlated subquery."""
+    h = PORTABLE_HASH_SQL.format(col="w")
+    hashes = f"transform({words_sql(text)}, w -> {h} % 4294967296)"
+    terms = []
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        # count of words with bit set minus words with bit clear
+        terms.append(
+            f"(case when aggregate({hashes}, 0L, "
+            f"(acc, h) -> acc + (case when (h div {mask}) % 2 = 1 then 1 else -1 end)) > 0 "
+            f"then {mask}L else 0L end)"
+        )
+    return (
+        f"case when size({words_sql(text)}) > 0 then (" + " + ".join(terms) + ") else 0L end"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
+
+    Candidates via 8-bit chunk banding: with 4 chunks and hamming<=3, at
+    least one chunk is identical (pigeonhole), so banding is lossless for
+    the chosen threshold.
+    """
+    hashed = simhash(df, text)
+    chunks = F.array(
+        *[
+            ((F.col("simhash") / F.lit(1 << (8 * c))).cast("long") % 256).alias(f"c{c}")
+            for c in range(4)
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    counts = banded.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("_n"))
+    small = banded.join(counts.where(F.col("_n") <= max_bucket), ["chunk_id", "chunk"])
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

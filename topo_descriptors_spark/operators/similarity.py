@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and a deterministic
+random-hyperplane LSH variant as the scale path.  Dot products are pure
+JVM array folds (``zip_with`` + ``aggregate``) — no Python UDFs.
+
+Scale design: brute force is O(n²·d) — correct but only for oracle-sized
+inputs or per-bucket refinement.  At 10^9 vectors the LSH path buckets
+by sign-pattern (b hyperplanes → up to 2^b buckets) so the self-join
+touches only same-bucket pairs; multiprobe (hamming-1 neighbor buckets)
+trades recall for fan-out.  The hyperplanes are a deterministic constant
+(seeded numpy, built driver-side, inlined as literals — the broadcast-
+kernel pattern of SURVEY.md J3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def dot_col(a: str, b: str) -> Column:
+    return F.expr(DOT_SQL.format(a=a, b=b))
+
+
+def norm_col(vec: str) -> Column:
+    return F.sqrt(F.expr(DOT_SQL.format(a=vec, b=vec)))
+
+
+def with_norm(df: DataFrame, vec: str = "embedding", out: str = "_norm") -> DataFrame:
+    return df.withColumn(out, norm_col(vec))
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector (brute force).
+
+    Cosine is rounded to ``round_digits`` BEFORE ranking so the ranking
+    is reproducible across engines/summation orders; ties then break on
+    neighbor id ascending.
+    """
+    a = with_norm(df.select(id_col, vec), vec).select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm(df.select(id_col, vec), vec).select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), F.col("_norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    cos = F.round(
+        dot_col("va", "vb") / (F.col("na") * F.col("nb")), round_digits
+    ).alias("cosine")
+    ranked = pairs.select("id_a", "id_b", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id_a").orderBy(
+                F.col("cosine").desc(), F.col("id_b").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic unit hyperplanes (n_planes, dim)."""
+    rng = np.random.RandomState(seed)
+    p = rng.standard_normal((n_planes, dim))
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def lsh_bucket_col(vec: str, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id (long) for a vector column."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = F.expr(
+            DOT_SQL.format(a=vec, b=f"array({', '.join(repr(float(x)) for x in plane)})")
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: candidates restricted to the
+    same sign-pattern bucket, then exact cosine + ranking within bucket.
+
+    Recall is tested against :func:`cosine_topk` in pytest; raise
+    ``n_planes`` for bigger corpora (bucket size ~ n / 2^planes)."""
+    dim = len(df.select(vec).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    withb = with_norm(df.select(id_col, vec), vec).withColumn(
+        "_bucket", lsh_bucket_col(vec, planes)
+    )
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
+        F.col("_norm").alias("na"), F.col("_bucket").alias("ba"),
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
+        F.col("_norm").alias("nb"), F.col("_bucket").alias("bb"),
+    )
+    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") != F.col("id_b")))
+    cos = F.round(
+        dot_col("va", "vb") / (F.col("na") * F.col("nb")), round_digits
+    ).alias("cosine")
+    ranked = pairs.select("id_a", "id_b", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id_a").orderBy(
+                F.col("cosine").desc(), F.col("id_b").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), LSH-bucketed.  High thresholds pair with few planes:
+    near-identical vectors almost always share the full sign pattern."""
+    dim = len(df.select(vec).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    withb = with_norm(df.select(id_col, vec), vec).withColumn(
+        "_bucket", lsh_bucket_col(vec, planes)
+    )
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
+        F.col("_norm").alias("na"), F.col("_bucket").alias("ba"),
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
+        F.col("_norm").alias("nb"), F.col("_bucket").alias("bb"),
+    )
+    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    cos = (dot_col("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return pairs.select("id_a", "id_b", cos).where(
+        F.col("cosine") >= F.lit(float(threshold))
+    )
