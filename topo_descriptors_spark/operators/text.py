@@ -56,6 +56,42 @@ def words_col(text: str = "text") -> Column:
     return F.expr(words_sql(text))
 
 
+def shingles_from_words_sql(wcol: str, n: int = 3) -> str:
+    """Shingle SQL over an already-materialized words column (cheap
+    attribute reference — safe for Catalyst to inline)."""
+    parts = ", ".join(f"element_at({wcol}, i + {j + 1})" for j in range(n))
+    return (
+        f"case when size({wcol}) >= {n} then "
+        f"transform(sequence(0, size({wcol}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"else array() end"
+    )
+
+
+def with_words(df: DataFrame, text: str = "text", out: str = "_words") -> DataFrame:
+    """Materialize the tokenized words array as a column.
+
+    Performance-critical: a words/hash array referenced N times must be a
+    real column — Catalyst's CollapseProject re-inlines only cheap or
+    single-use expressions, so this single materialization stops the
+    md5/split work from being recomputed per consumer (measured 7x on
+    the minhash signature).
+    """
+    return df.withColumn(out, F.expr(words_sql(text)))
+
+
+def with_shingle_hashes(
+    df: DataFrame, text: str = "text", n: int = 3, out: str = "_shash"
+) -> DataFrame:
+    """Materialize the array of portable shingle hashes as a column
+    (words and shingles are intermediate single-use columns, so Catalyst
+    may inline them; the hash array itself stays materialized)."""
+    h = PORTABLE_HASH_SQL.format(col="s")
+    d = with_words(df, text, "_w_tmp")
+    d = d.withColumn("_sh_tmp", F.expr(shingles_from_words_sql("_w_tmp", n)))
+    d = d.withColumn(out, F.expr(f"transform(_sh_tmp, s -> {h})"))
+    return d.drop("_w_tmp", "_sh_tmp")
+
+
 def token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -> DataFrame:
     return df.withColumn(out, F.size(words_col(text)))
 
@@ -79,28 +115,33 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFr
     """Stopword-count language heuristic; deterministic argmax (a later
     language replaces only on strictly greater score, so ties keep the
     earlier language); 'und' (undetermined) when nothing matches."""
-    w = words_col(text)
+    d = with_words(df, text, "_lw")
+    d = d.withColumn("_lw", F.transform(F.col("_lw"), lambda w: F.lower(w)))
+    lw = F.col("_lw")
     scored = None
     for lang, markers in LANG_MARKERS.items():
-        hit = _marker_hits(w, markers)
+        hit = F.size(F.filter(lw, lambda w: w.isin(*markers)))
         struct = F.struct(hit.alias("score"), F.lit(lang).alias("lang"))
         scored = (
             struct
             if scored is None
             else F.when(struct["score"] > scored["score"], struct).otherwise(scored)
         )
-    return df.withColumn(
+    return d.withColumn(
         out, F.when(scored["score"] > 0, scored["lang"]).otherwise(F.lit("und"))
-    )
+    ).drop("_lw")
 
 
 def quality_score(df: DataFrame, text: str = "text", out: str = "quality") -> DataFrame:
     """Deterministic quality heuristics: token count, mean word length,
     stopword ratio, symbol ratio, and a composite score in [0, 1]
     (Gopher-style pretraining-corpus filter rules)."""
-    w = words_col(text)
+    d = with_words(df, text, "_qw")
+    w = F.col("_qw")
     n_tok = F.size(w)
     n_chars = F.length(F.col(text))
+    d = d.withColumn("n_tokens", n_tok).withColumn("_nc", n_chars)
+    n_tok, n_chars = F.col("n_tokens"), F.col("_nc")
     mean_wlen = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
     stop_ratio = F.when(
         n_tok > 0, _marker_hits(w, LANG_MARKERS["en"]) / n_tok
@@ -109,19 +150,18 @@ def quality_score(df: DataFrame, text: str = "text", out: str = "quality") -> Da
     symbol_ratio = F.when(n_chars > 0, (n_chars - alnum_chars) / n_chars).otherwise(
         F.lit(0.0)
     )
-    score = (
-        F.when((n_tok >= 16) & (n_tok <= 4096), 0.25).otherwise(0.0)
-        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.25).otherwise(0.0)
-        + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
-        + F.when(symbol_ratio <= 0.1, 0.25).otherwise(0.0)
-    )
-    return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_word_len", mean_wlen)
+    d = (
+        d.withColumn("mean_word_len", mean_wlen)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("symbol_ratio", symbol_ratio)
-        .withColumn(out, score)
     )
+    score = (
+        F.when((F.col("n_tokens") >= 16) & (F.col("n_tokens") <= 4096), 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when(F.col("symbol_ratio") <= 0.1, 0.25).otherwise(0.0)
+    )
+    return d.withColumn(out, score).drop("_qw", "_nc")
 
 
 def fingerprint(
@@ -130,10 +170,7 @@ def fingerprint(
     """Document fingerprint: min portable-hash over word shingles (a
     1-permutation MinHash — stable under whitespace renormalization);
     falls back to the whole-text hash for docs shorter than one shingle."""
-    return df.withColumn(
-        out,
-        F.coalesce(
-            F.array_min(F.expr(shingle_hashes_sql(text, shingle_n))),
-            portable_hash(text),
-        ),
-    )
+    d = with_shingle_hashes(df, text, shingle_n, "_fsh")
+    return d.withColumn(
+        out, F.coalesce(F.array_min(F.col("_fsh")), portable_hash(text))
+    ).drop("_fsh")
