@@ -1,0 +1,72 @@
+"""Streaming sessionization: availableNow drain equals batch sessionize."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators import window as W
+from topo_descriptors_spark.streaming.sessions import run_available_now, sessionize_stream
+
+
+def test_stream_sessions_equal_batch(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    t = pd.Timestamp("2024-01-01")
+    for uid in range(5):
+        t_u = t
+        for i in range(60):
+            t_u = t_u + pd.Timedelta(seconds=float(rng.exponential(400) + 1))
+            rows.append((uid, t_u, float(rng.rand())))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+    with tempfile.TemporaryDirectory() as d:
+        import time
+
+        src, out, ckp = f"{d}/src", f"{d}/out", f"{d}/ckp"
+        os.makedirs(src)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{src}/batch1")
+        # sentinel flush event in a LATER file: append-mode session output
+        # only emits sessions the watermark has passed, so a far-future
+        # event in a second micro-batch advances the watermark beyond all
+        # real sessions (the standard drain trick)
+        time.sleep(1.1)
+        flush = pd.DataFrame(
+            {"user_id": [9999], "ts": [pd.Timestamp("2024-03-01")], "value": [0.0]}
+        )
+        spark.createDataFrame(flush).coalesce(1).write.parquet(f"{src}/batch2")
+        schema = spark.read.parquet(f"{src}/batch1").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        sessions = sessionize_stream(stream, gap_seconds=600, entity="user_id")
+        run_available_now(sessions, out, ckp)
+        got = spark.read.parquet(out).toPandas()
+        got = got[got.user_id != 9999]
+
+        # batch oracle: sessionize + aggregate per session
+        batch = W.sessionize(
+            spark.createDataFrame(pdf), gap_seconds=600, entity="user_id", order="ts"
+        )
+        expect = (
+            batch.groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+                F.min("ts").alias("first_ts"),
+            )
+            .toPandas()
+        )
+        assert len(got) == len(expect)
+        g = got.sort_values(["user_id", "first_ts"]).reset_index(drop=True)
+        e = expect.sort_values(["user_id", "first_ts"]).reset_index(drop=True)
+        assert g["n_events"].tolist() == e["n_events"].tolist()
+        assert (g["sum_value"] - e["sum_value"]).abs().max() < 1e-9
+        assert g["first_ts"].equals(e["first_ts"])

@@ -1,0 +1,66 @@
+"""Streaming sessionization + incremental entity aggregates.
+
+The batch engine sessionizes with a cumulative gap-flag sum
+(operators/window.py W9); the streaming form is Spark's native
+``session_window`` with a watermark bounding state for late data — the
+same gap semantics, incremental state instead of a sort.
+
+These run with any streaming source; tests use a file source with
+``trigger(availableNow=True)`` so results are deterministic and the
+query drains and stops — the batch-equivalence check asserts the
+streaming session aggregates equal the batch sessionize() output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: float,
+    entity: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(entity, session) aggregates over a streaming DataFrame.
+
+    Watermark bounds the session state: events later than ``watermark``
+    behind the max seen event time are dropped — the streaming analog of
+    the batch engine's zero-leakage ordering.
+    """
+    gap = f"{int(gap_seconds)} seconds"
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(entity), F.session_window(F.col(ts), gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+        .select(
+            entity,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain all available input and stop (deterministic batch-like run)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
