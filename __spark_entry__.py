@@ -250,6 +250,47 @@ def q_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 2-D tile-kernel descriptors over a grid derived from events
+# (grid: y = event_id % GRID_N, x = (event_id div GRID_N) % GRID_N,
+#  value = avg(value) per cell — identical derivation in the SQL oracle)
+# ---------------------------------------------------------------------------
+
+GRID_N = 96
+
+
+def _grid_from_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.pmod(F.col("event_id"), F.lit(GRID_N)).cast("int").alias("y"),
+            F.pmod(F.floor(F.col("event_id") / GRID_N), F.lit(GRID_N))
+            .cast("int")
+            .alias("x"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+
+
+def q_tpi_2d(spark, sf_dir):
+    from topo_descriptors_spark.operators import tiles
+
+    grid = _grid_from_events(spark, sf_dir)
+    out = tiles.tpi_2d(grid, (GRID_N, GRID_N), size=5, tile_size=48)
+    return out.select("y", "x", _r("tpi").alias("tpi"))
+
+
+def q_sx_2d(spark, sf_dir):
+    from topo_descriptors_spark.operators import tiles
+
+    grid = _grid_from_events(spark, sf_dir)
+    out = tiles.sx_2d(
+        grid, (GRID_N, GRID_N), azimuth=0.0, radius=200.0, res_x=50.0,
+        res_y=50.0, height=10.0, tile_size=48,
+    )
+    return out.select("y", "x", _r("sx").alias("sx"))
+
+
+# ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
@@ -311,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": q_minhash_pairs,
         "d_ngram_jaccard": q_ngram_jaccard,
         "d_simhash": q_simhash,
+        "g_tpi_2d": q_tpi_2d,
+        "g_sx_2d": q_sx_2d,
         "s_cosine_topk": q_cosine_topk,
         "s_ann_topk": q_ann_topk,
     }
@@ -418,6 +461,73 @@ def _d_simhash_sql() -> str:
         SELECT doc_id,
                (CASE WHEN len(wl) > 0 THEN ({terms}) ELSE 0 END)::BIGINT AS simhash
         FROM h
+    """
+
+
+_D_GRID = f"""
+    SELECT (event_id % {GRID_N})::INT AS y,
+           ((event_id // {GRID_N}) % {GRID_N})::INT AS x,
+           avg(value) AS value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _g_tpi2d_sql() -> str:
+    import numpy as np
+
+    from topo_descriptors_spark.functions.kernels import circular_kernel
+
+    k = circular_kernel(5)
+    k[2, 2] = 0
+    offs = [
+        f"({dy - 2}, {dx - 2})"
+        for dy in range(5)
+        for dx in range(5)
+        if k[dy, dx] > 0
+    ]
+    ksum = float(k.sum())
+    return f"""
+        WITH grid AS ({_D_GRID}),
+        offs(dy, dx) AS (VALUES {', '.join(offs)}),
+        conv AS (
+          SELECT g.y, g.x, coalesce(sum(n.value), 0.0) AS s
+          FROM grid g
+          CROSS JOIN offs o
+          LEFT JOIN grid n ON n.y = g.y + o.dy AND n.x = g.x + o.dx
+          GROUP BY g.y, g.x
+        )
+        SELECT g.y, g.x, round(g.value - c.s / {ksum}, {_R}) AS tpi
+        FROM grid g JOIN conv c ON g.y = c.y AND g.x = c.x
+    """
+
+
+def _g_sx2d_sql() -> str:
+    import numpy as np
+
+    from topo_descriptors_spark.functions.geometry import sx_offsets
+
+    offsets, dists = sx_offsets(0.0, 200.0, 50.0, 50.0, height=10.0)
+    window = int(np.abs(offsets).max())
+    rows = ", ".join(
+        f"({int(dy)}, {int(dx)}, {float(d)!r})"
+        for (dy, dx), d in zip(offsets, dists)
+    )
+    return f"""
+        WITH grid AS ({_D_GRID}),
+        offs(dy, dx, dist) AS (VALUES {rows}),
+        cand AS (
+          SELECT g.y, g.x,
+                 degrees(atan((n.value - g.value - 10.0) / o.dist)) AS ang
+          FROM grid g
+          CROSS JOIN offs o
+          JOIN grid n ON n.y = g.y + o.dy AND n.x = g.x + o.dx
+        ),
+        m AS (SELECT y, x, max(ang) AS sx FROM cand GROUP BY 1, 2)
+        SELECT g.y, g.x,
+               round(CASE WHEN g.y < {window} OR g.y >= {GRID_N - window}
+                          OR g.x < {window} OR g.x >= {GRID_N - window}
+                     THEN 0.0 ELSE coalesce(m.sx, 0.0) END, {_R}) AS sx
+        FROM grid g LEFT JOIN m ON g.y = m.y AND g.x = m.x
     """
 
 
@@ -602,6 +712,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.12
         """,
         "d_simhash": _d_simhash_sql(),
+        "g_tpi_2d": _g_tpi2d_sql(),
+        "g_sx_2d": _g_sx2d_sql(),
         "s_cosine_topk": f"""
             WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),

@@ -346,6 +346,69 @@ def multiscale_features(
 
 
 # ---------------------------------------------------------------------------
+# Skew handling: chunked bounded-frame windows for hot entities.
+# A Window.partitionBy(entity) puts an entity's whole timeline in ONE
+# task — fatal for a 10^9-row entity.  For bounded frames over DENSE
+# integer positions (token sequences), split each timeline into chunks
+# with a halo of the maximum frame reach (the 1-D form of the tile
+# engine's halo exchange) and window per (entity, chunk): task size is
+# bounded by chunk_size + 2*halo regardless of entity skew, and results
+# are identical to the unchunked window (tested).
+# ---------------------------------------------------------------------------
+
+def sequence_chunks_with_halo(
+    df: DataFrame,
+    chunk_size: int,
+    halo: int,
+    entity: str = "entity_id",
+    order: str = "pos",
+) -> DataFrame:
+    """Adds ``_chunk`` and ``is_core``; halo-band rows are duplicated into
+    the neighboring chunk.  ``order`` must be a dense integer position
+    (row distance == position distance) for frame equivalence."""
+    if halo >= chunk_size:
+        raise ValueError("halo must be smaller than chunk_size")
+    c = F.lit(int(chunk_size))
+    base = F.floor(F.col(order) / c)
+    d = df.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    d = d.withColumn("_chunk", base + F.col("_off"))
+    in_chunk = (F.col(order) >= F.col("_chunk") * c - halo) & (
+        F.col(order) < (F.col("_chunk") + 1) * c + halo
+    )
+    d = d.where(in_chunk & (F.col("_chunk") >= 0))
+    return d.withColumn("is_core", F.col("_off") == 0).drop("_off")
+
+
+def multiscale_features_chunked(
+    df: DataFrame,
+    scales_pxl: list[int],
+    sigmas: list[float] | None = None,
+    chunk_size: int = 65536,
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "pos",
+) -> DataFrame:
+    """Skew-proof :func:`multiscale_features`: identical output, but the
+    window partition key is (entity, chunk) with halo rows — one hot
+    entity spreads over len(timeline)/chunk_size tasks."""
+    halo = max(frame_half_width(max(scales_pxl)), 1)
+    for s in sigmas or []:
+        halo = max(halo, int(4 * float(s) + 0.5))
+    chunked = sequence_chunks_with_halo(df, chunk_size, halo, entity, order)
+    w = Window.partitionBy(entity, "_chunk").orderBy(order)
+    v = F.col(value)
+    cols: list[Column] = []
+    for d in scales_pxl:
+        k = frame_half_width(d)
+        cols.append(tpi_col(v, k, w).alias(f"tpi_{d}"))
+        cols.append(rolling_std_col(v, k, w).alias(f"std_{d}"))
+    for s in sigmas or []:
+        cols.append(gaussian_ma_col(v, s, w).alias(f"smooth_{str(s).replace('.', 'p')}"))
+    out = chunked.select("*", *cols)
+    return out.where(F.col("is_core")).drop("_chunk", "is_core")
+
+
+# ---------------------------------------------------------------------------
 # P3 — null-mask reimposition (reference topo.py:57,139,...: descriptors
 # are NaN wherever the input was NaN, even after filling).
 # ---------------------------------------------------------------------------

@@ -70,8 +70,14 @@ def documents_tok(
 
     Token length 8..512, skewed sources (web ≈ 80% — exercises salting).
     Tokens are a deterministic function of (doc_id, position).
+
+    Generated with 4x defaultParallelism partitions: downstream per-task
+    work (explode + window features) is heavy, so finer input granularity
+    smooths scheduling tails (values are hash-of-id, so the partitioning
+    never affects content).
     """
-    df = spark.range(n_docs).select(F.col("id"))
+    parts = max(spark.sparkContext.defaultParallelism * 4, 4)
+    df = spark.range(0, n_docs, 1, parts).select(F.col("id"))
     length = (8 + F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(505))).cast("int")
     u_src = _u01(F.col("id"), seed + 2)
     source = (
