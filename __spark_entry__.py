@@ -301,6 +301,44 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
 
 
+def q_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs, exact (brute force): the SQL-parity
+    baseline; the LSH-bucketed scale path is pytest-pinned instead."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = similarity.with_norm(emb.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = similarity.with_norm(emb.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = similarity.dot_col("va", "vb") / (F.col("na") * F.col("nb"))
+    # filter on the ROUNDED value so an engine-order float wobble at the
+    # threshold cannot flip row membership between Spark and the oracle
+    return (
+        pairs.select("id_a", "id_b", _r(cos).alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
+def q_rank_ops(spark, sf_dir):
+    """Ranking/analytic functions (row_number, rank, dense_rank, ntile) —
+    the tie-break machinery the as-of join depends on."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(10).over(w).alias("decile"),
+    ).where(F.col("rn") <= 100)
+
+
 def q_ann_topk(spark, sf_dir):
     # LSH-bucketed ANN — approximate by design → rows-only driver check;
     # recall vs brute force pinned in tests/test_similarity.py
@@ -356,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sx_2d": q_sx_2d,
         "s_cosine_topk": q_cosine_topk,
         "s_ann_topk": q_ann_topk,
+        "s_near_dup": q_near_dup,
+        "a_rank_ops": q_rank_ops,
     }
 
 
@@ -712,6 +752,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.12
         """,
         "d_simhash": _d_simhash_sql(),
+        "s_near_dup": f"""
+            WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), {_R}) AS cosine
+              FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.3
+        """,
+        "a_rank_ops": """
+            SELECT event_id, event_type, rn, rk, drk, decile FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER w AS rn,
+                     rank() OVER w AS rk,
+                     dense_rank() OVER w AS drk,
+                     ntile(10) OVER w AS decile
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+            ) WHERE rn <= 100
+        """,
         "g_tpi_2d": _g_tpi2d_sql(),
         "g_sx_2d": _g_sx2d_sql(),
         "s_cosine_topk": f"""
