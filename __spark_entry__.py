@@ -111,6 +111,25 @@ def q_sx_shelter(spark, sf_dir):
     return df.select("event_id", "user_id", _r("sx").alias("sx"))
 
 
+def q_tpi_chunked(spark, sf_dir):
+    """Skew-proof chunked windows (partition key (entity, chunk) + halo):
+    must equal the plain window — same oracle as a plain TPI over a
+    dense row_number position axis."""
+    ev = _events(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts")
+    ) - F.lit(1)
+    seq = ev.select("event_id", "user_id", rn.cast("long").alias("pos"), "value")
+    out = W.multiscale_features_chunked(
+        seq, [9], chunk_size=64, value="value", entity="user_id", order="pos"
+    )
+    return out.select(
+        "event_id", "user_id",
+        _r("tpi_9").alias("tpi_9"),
+        _r("std_9").alias("std_9"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of joins (SURVEY.md §2.3 J1)
 # ---------------------------------------------------------------------------
@@ -376,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_backfill": q_backfill,
         "w_sessionize": q_sessionize,
         "w_sx_shelter": q_sx_shelter,
+        "w_tpi_chunked": q_tpi_chunked,
         "j_asof_events": q_asof_events,
         "j_asof_orders_strict": q_asof_orders_strict,
         "a_top_event": q_top_event,
@@ -644,6 +664,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, round({_sx_terms()}, {_R}) AS sx
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "w_tpi_chunked": f"""
+            SELECT event_id, user_id,
+                   round(value - (sum(value) OVER w - value) / (count(value) OVER w - 1), {_R}) AS tpi_9,
+                   round(stddev_samp(value) OVER w, {_R}) AS std_9
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)
         """,
         "j_asof_events": f"""
             SELECT c.event_id AS q_id, c.user_id, c.ts AS q_ts,

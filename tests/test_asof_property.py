@@ -1,0 +1,86 @@
+"""Property-based as-of correctness: random state/query sets vs a pure
+pandas oracle (hypothesis drives shapes, ties, duplicates, empties)."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from topo_descriptors_spark.operators.asof import asof_join
+
+entities = st.sampled_from(["a", "b", "c"])
+
+
+@st.composite
+def asof_case(draw):
+    n_state = draw(st.integers(0, 25))
+    n_q = draw(st.integers(1, 25))
+    state = [
+        (
+            draw(entities),
+            draw(st.integers(0, 50)),  # coarse ts -> plenty of exact ties
+            draw(st.one_of(st.none(), st.floats(-100, 100, allow_nan=False))),
+        )
+        for _ in range(n_state)
+    ]
+    queries = [
+        (draw(entities), draw(st.integers(0, 50)), i) for i in range(n_q)
+    ]
+    return state, queries
+
+
+def _pandas_oracle(state, queries, strict):
+    out = []
+    for ent, q_ts, q_id in queries:
+        cands = [
+            (ts, v)
+            for (e, ts, v) in state
+            if e == ent and (ts < q_ts if strict else ts <= q_ts)
+        ]
+        if cands:
+            ts = max(t for t, _ in cands)
+            # engine tie rule on duplicate state ts: max payload struct wins
+            v = max((v for t, v in cands if t == ts), key=lambda x: (x is not None, x))
+            out.append((q_id, ts, v))
+        else:
+            out.append((q_id, None, None))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_asof_matches_pandas_oracle(spark, strict, case):
+    state, queries = case
+    # dedup state to one row per (entity, ts) with max value (engine
+    # requires unique state keys for determinism)
+    best = {}
+    for e, ts, v in state:
+        k = (e, ts)
+        if k not in best or (v is not None and (best[k] is None or v > best[k])):
+            best[k] = v
+    state = [(e, ts, v) for (e, ts), v in best.items()]
+
+    s_pd = pd.DataFrame(state, columns=["entity_id", "ts", "value"])
+    q_pd = pd.DataFrame(queries, columns=["entity_id", "q_ts", "q_id"])
+    s_df = spark.createDataFrame(s_pd) if len(s_pd) else spark.createDataFrame(
+        [], "entity_id string, ts bigint, value double"
+    )
+    q_df = spark.createDataFrame(q_pd)
+    out = asof_join(
+        q_df, s_df, on="entity_id", q_ts="q_ts", s_ts="ts", strict=strict
+    ).toPandas()
+    got = sorted(
+        (
+            int(r.q_id),
+            None if pd.isna(r.matched_ts) else int(r.matched_ts),
+            None if pd.isna(r.value) else float(r.value),
+        )
+        for r in out.itertuples()
+    )
+    expect = _pandas_oracle(state, queries, strict)
+    assert got == expect
