@@ -111,6 +111,25 @@ def q_sx_shelter(spark, sf_dir):
     return df.select("event_id", "user_id", _r("sx").alias("sx"))
 
 
+# 1-D valley/ridge matched-filter bank (W5 recast); weights z-normalized
+# by the operator — the oracle embeds the same normalized literals
+MF_FILTERS = {
+    "ridge": [-2.0, -1.0, 0.0, -1.0, -2.0],
+    "ushape": [1.0, 1.0, 0.0, 1.0, 1.0],
+    "vshape": [2.0, 1.0, 0.0, 1.0, 2.0],
+}
+
+
+def q_matched_filter(spark, sf_dir):
+    out = W.matched_filter_bank(
+        _events(spark, sf_dir), MF_FILTERS, value="value",
+        entity="user_id", order="ts",
+    )
+    return out.select(
+        "event_id", "user_id", _r("mf_score").alias("mf_score"), "mf_id"
+    )
+
+
 def q_tpi_chunked(spark, sf_dir):
     """Skew-proof chunked windows (partition key (entity, chunk) + halo):
     must equal the plain window — same oracle as a plain TPI over a
@@ -359,9 +378,10 @@ def q_rank_ops(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    # LSH-bucketed ANN — approximate by design → rows-only driver check;
-    # recall vs brute force pinned in tests/test_similarity.py
-    out = similarity.ann_topk_lsh(
+    # LSH-bucketed ANN (Arrow-blocked form) — approximate by design →
+    # rows-only driver check; recall vs brute force and equivalence to
+    # the expression form pinned in tests/test_similarity.py
+    out = similarity.ann_topk_blocked(
         read_table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id", n_planes=4
     )
     return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
@@ -395,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_backfill": q_backfill,
         "w_sessionize": q_sessionize,
         "w_sx_shelter": q_sx_shelter,
+        "w_matched_filter": q_matched_filter,
         "w_tpi_chunked": q_tpi_chunked,
         "j_asof_events": q_asof_events,
         "j_asof_orders_strict": q_asof_orders_strict,
@@ -441,6 +462,45 @@ def _gauss_terms() -> tuple[str, str]:
         num.append(f"CASE WHEN {v} IS NOT NULL THEN {v} * {wt!r} ELSE 0.0 END")
         den.append(f"CASE WHEN {v} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
     return " + ".join(num), " + ".join(den)
+
+
+def _mf_sql() -> str:
+    import numpy as np
+
+    scores = {}
+    for name in sorted(MF_FILTERS):
+        wts = np.asarray(MF_FILTERS[name], dtype=np.float64)
+        wts = (wts - wts.mean()) / wts.std()
+        r = len(wts) // 2
+        terms = []
+        for i, wt in enumerate(wts):
+            off = i - r
+            v = (
+                "value"
+                if off == 0
+                else (f"lag(value, {off}) OVER w" if off > 0 else f"lead(value, {-off}) OVER w")
+            )
+            terms.append(f"coalesce({v} * {wt!r}, 0.0)")
+        scores[name] = " + ".join(terms)
+    names = sorted(scores)
+    score_cols = ", ".join(f"({scores[n]}) AS s_{n}" for n in names)
+    # earliest name attaining the max wins (mirrors the strict-greater fold)
+    pick = "CASE "
+    for i, n in enumerate(names[:-1]):
+        conds = " AND ".join(f"s_{n} >= s_{m}" for m in names[i + 1 :])
+        pick += f"WHEN {conds} THEN '{n}' "
+    pick += f"ELSE '{names[-1]}' END"
+    return f"""
+        WITH s AS (
+          SELECT event_id, user_id, {score_cols}
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT event_id, user_id,
+               round(greatest({', '.join('s_' + n for n in names)}), {_R}) AS mf_score,
+               {pick} AS mf_id
+        FROM s
+    """
 
 
 def _sx_terms() -> str:
@@ -665,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
+        "w_matched_filter": _mf_sql(),
         "w_tpi_chunked": f"""
             SELECT event_id, user_id,
                    round(value - (sum(value) OVER w - value) / (count(value) OVER w - 1), {_R}) AS tpi_9,

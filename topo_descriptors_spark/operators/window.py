@@ -346,6 +346,54 @@ def multiscale_features(
 
 
 # ---------------------------------------------------------------------------
+# W5 (1-D recast) — matched-filter bank: the valley/ridge index as a
+# bank of weight vectors correlated with the sequence window; per row,
+# the best-scoring filter wins (running max/argmax, reference
+# topo.py:441-447).  The 2-D rotated-kernel form lives in tiles.py.
+# ---------------------------------------------------------------------------
+
+def matched_filter_bank(
+    df: DataFrame,
+    filters: dict[str, list[float]],
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    score_out: str = "mf_score",
+    id_out: str = "mf_id",
+) -> DataFrame:
+    """Correlate each (z-normalized) filter in ``filters`` with the
+    sequence neighborhood and keep the best (score, filter id) per row.
+
+    Each filter of length L becomes a lag/lead expression bank over ONE
+    shared window sort; the argmax across filters is a fold over structs
+    (score DESC, id ASC tie-break) — all JVM-side.
+    """
+    import numpy as np
+
+    w = entity_window(entity, order)
+    v = F.col(value)
+    best = None
+    for name in sorted(filters):
+        weights = np.asarray(filters[name], dtype=np.float64)
+        weights = (weights - weights.mean()) / weights.std()
+        r = len(weights) // 2
+        score = F.lit(0.0)
+        for i, wt in enumerate(weights):
+            off = i - r
+            term = F.lag(v, -off).over(w) if off != 0 else v
+            score = score + F.coalesce(term * F.lit(float(wt)), F.lit(0.0))
+        cand = F.struct(score.alias("score"), F.lit(name).alias("fid"))
+        best = (
+            cand
+            if best is None
+            else F.when(cand["score"] > best["score"], cand).otherwise(best)
+        )
+    return df.select(
+        "*", best["score"].alias(score_out), best["fid"].alias(id_out)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew handling: chunked bounded-frame windows for hot entities.
 # A Window.partitionBy(entity) puts an entity's whole timeline in ONE
 # task — fatal for a 10^9-row entity.  For bounded frames over DENSE
