@@ -28,11 +28,8 @@ from pyspark.sql import functions as F
 from topo_descriptors_spark.operators.text import (
     HASH_PRIME,
     PORTABLE_HASH_SQL,
-    portable_hash,
-    shingle_hashes_sql,
     with_shingle_hashes,
     with_words,
-    words_sql,
 )
 
 
