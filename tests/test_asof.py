@@ -141,6 +141,61 @@ def test_tolerance(data):
     assert (age.dropna() <= 120.0).all()
 
 
+def test_bucketed_negative_timestamps(spark):
+    """Pre-1970 timestamps: floor() on negative epoch seconds must bucket
+    consistently (floor division, not truncation)."""
+    state = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a"] * 4,
+                "ts": pd.to_datetime(
+                    ["1965-01-01", "1965-06-01", "1969-12-31", "1971-01-01"]
+                ),
+                "value": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a", "a", "a"],
+                "q_ts": pd.to_datetime(["1965-03-01", "1970-01-01", "1999-01-01"]),
+                "q_id": [0, 1, 2],
+            }
+        )
+    )
+    plain = asof_join(q, state, on="entity_id").toPandas().sort_values("q_id")
+    bucketed = (
+        asof_join_bucketed(q, state, on="entity_id", bucket_seconds=86400 * 365.0)
+        .toPandas()
+        .sort_values("q_id")
+    )
+    assert plain["value"].tolist() == [1.0, 3.0, 4.0]
+    assert plain["value"].tolist() == bucketed["value"].tolist()
+    assert plain["matched_ts"].tolist() == bucketed["matched_ts"].tolist()
+
+
+def test_duplicate_query_rows_kept(spark):
+    """Duplicate query rows are both preserved (left-join multiplicity)."""
+    state = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "value": [7.0]}
+        )
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a", "a"],
+                "q_ts": pd.to_datetime(["2024-01-02", "2024-01-02"]),
+                "q_id": [1, 1],
+            }
+        )
+    )
+    out = asof_join(q, state, on="entity_id").toPandas()
+    assert len(out) == 2
+    assert (out["value"] == 7.0).all()
+
+
 def test_null_state_value_preserved(spark):
     """A matched state row with NULL value must yield NULL (not an older value)."""
     state = spark.createDataFrame(
