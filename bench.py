@@ -35,7 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "5000"))
+FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
 
 def _sf_of(sf_dir: str) -> float:

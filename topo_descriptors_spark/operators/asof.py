@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 from topo_descriptors_spark.functions.cols import axis_seconds
 
 
+_RESERVED = ("_ts", "_side", "_state", "_match", "_bucket", "_carry")
+
+
+def _check_names(queries_df: DataFrame, value_cols: list[str]) -> None:
+    clash = set(queries_df.columns) & set(value_cols)
+    if clash:
+        raise ValueError(
+            f"query columns {sorted(clash)} collide with state value columns; "
+            "rename one side before the as-of join"
+        )
+    reserved = set(queries_df.columns) & set(_RESERVED)
+    if reserved:
+        raise ValueError(f"query columns use reserved names {sorted(reserved)}")
+
+
 def _prep_sides(
     queries_df: DataFrame,
     state_df: DataFrame,
@@ -110,6 +125,7 @@ def asof_join(
     on = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in state_df.columns if c not in set(on) | {s_ts}]
+    _check_names(queries_df, value_cols)
 
     merged = _prep_sides(queries_df, state_df, on, q_ts, s_ts, value_cols)
     # inclusive: state (0) before query (1) at equal ts → query sees it;
@@ -153,6 +169,7 @@ def asof_join_bucketed(
     on = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in state_df.columns if c not in set(on) | {s_ts}]
+    _check_names(queries_df, value_cols)
 
     q = (
         queries_df.withColumn("_ts", F.col(q_ts))
