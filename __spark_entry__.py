@@ -213,6 +213,21 @@ def q_quantile(spark, sf_dir):
     )
 
 
+def q_rollup(spark, sf_dir):
+    """Multi-granularity rollup (hypertable-style): per (event_type, day),
+    per event_type, and grand total in one pass (partial-agg reuse)."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("value")).alias("sum_value"),
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n", "sum_value",
+    )
+
+
 def q_znorm(spark, sf_dir):
     """Global z-normalization within event_type (A1)."""
     ev = _events(spark, sf_dir)
@@ -422,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_top_event": q_top_event,
         "a_quantile": q_quantile,
         "a_znorm": q_znorm,
+        "a_rollup": q_rollup,
         "t_token_count": q_token_count,
         "t_lang_id": q_lang_id,
         "t_quality": q_quality,
@@ -771,6 +787,14 @@ def oracle_sql() -> dict[str, str]:
                    round((value - avg(value) OVER w) / stddev_samp(value) OVER w, {_R}) AS z
             FROM events
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "a_rollup": f"""
+            SELECT event_type, CAST(day AS VARCHAR) AS day, n, sum_value FROM (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     count(*) AS n, round(sum(value), {_R}) AS sum_value
+              FROM events
+              GROUP BY ROLLUP (event_type, day)
+            )
         """,
         "t_token_count": f"SELECT doc_id, len({_DW}) AS n_tokens FROM documents",
         "t_lang_id": _d_lang_sql(),
