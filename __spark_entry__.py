@@ -248,6 +248,12 @@ def q_token_count(spark, sf_dir):
     return text.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
 
 
+def q_token_regex(spark, sf_dir):
+    return text.token_count_regex(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_bpe"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "pred_lang")
 
@@ -439,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_znorm": q_znorm,
         "a_rollup": q_rollup,
         "t_token_count": q_token_count,
+        "t_token_regex": q_token_regex,
         "t_lang_id": q_lang_id,
         "t_quality": q_quality,
         "t_fingerprint": q_fingerprint,
@@ -797,6 +804,12 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "t_token_count": f"SELECT doc_id, len({_DW}) AS n_tokens FROM documents",
+        "t_token_regex": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_tokens_bpe
+            FROM documents
+        """,
         "t_lang_id": _d_lang_sql(),
         "t_quality": f"""
             WITH w AS (

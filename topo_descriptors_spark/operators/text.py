@@ -96,6 +96,23 @@ def token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -> Dat
     return df.withColumn(out, F.size(words_col(text)))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2-style split shape without the merges table
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_regex(
+    df: DataFrame, text: str = "text", out: str = "n_tokens_bpe",
+    pattern: str = BPE_ISH_PATTERN,
+) -> DataFrame:
+    """Regex token counting (BPE-ish pre-tokenization).  The pattern goes
+    in as a Column literal, NOT an expr() string — Spark SQL string
+    literals eat single backslashes, silently corrupting '\\s'."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+    )
+
+
 # tiny per-language stopword marker lists for the stopword language
 # heuristic; fold order fixes deterministic tie-breaks (first wins).
 LANG_MARKERS: dict[str, list[str]] = {
