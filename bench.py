@@ -163,6 +163,46 @@ SCALING_N = os.environ.get("SPARK_GRAFT_SCALE_N", "1")
 SCALING_4N = str(4 * int(SCALING_N))
 
 
+GRID_SIDE = 1152  # ~1.33 Mpx == the reference README grid
+
+
+def run_grid(cores: str) -> dict:
+    """2-D tile-engine throughput at the reference's own grid scale
+    (1.3 Mpx SRTM clip, reference README.md:24) — the single-node
+    match-or-beat comparison against BASELINE.md's reference timings."""
+    from pyspark.sql import functions as F
+
+    from topo_descriptors_spark.operators import tiles as T
+    from topo_descriptors_spark.session import get_spark
+
+    spark = get_spark("bench-grid", master=f"local[{cores}]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    ny = nx = GRID_SIDE
+    grid = spark.range(ny * nx).select(
+        (F.col("id") / nx).cast("int").alias("y"),
+        F.pmod(F.col("id"), F.lit(nx)).cast("int").alias("x"),
+        (F.sin(F.col("id") / 7.0) * 100).alias("value"),
+    )
+    grid.cache().count()
+    jobs = {
+        "tpi_2d_500m": lambda: T.tpi_2d(grid, (ny, nx), size=9, tile_size=256),
+        "std_2d_500m": lambda: T.std_2d(grid, (ny, nx), size=9, tile_size=256),
+        "gradient_2d": lambda: T.gradient_2d(grid, (ny, nx), sigma=2.0, tile_size=256),
+        "sx_2d_r500": lambda: T.sx_2d(grid, (ny, nx), azimuth=0.0, radius=500.0,
+                                      res_x=50.0, res_y=50.0, tile_size=256),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        _materialize(fn())  # steady state
+        t0 = time.monotonic()
+        _materialize(fn())
+        dt = time.monotonic() - t0
+        out[name] = {"sec": round(dt, 2), "mpx_per_sec": round(ny * nx / dt / 1e6, 2)}
+    return {"metric": "2-D tile-engine throughput @ 1.33 Mpx", "grid": f"{ny}x{nx}",
+            "jobs": out, "cores": cores}
+
+
 def run_scaling(sf_dir: str, n_docs: int) -> dict:
     """N vs 4N cores on the identical flagship job, fresh JVM per config.
 
@@ -241,11 +281,15 @@ def main():
     ap.add_argument("--docs", type=int, default=FLAGSHIP_DOCS)
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--grid", action="store_true")
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.docs)))
+        return
+    if args.grid:
+        print(json.dumps(run_grid(args.cores)))
         return
 
     res = run_single(args.sf_dir, args.cores, args.docs,
