@@ -360,6 +360,15 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    # IVF multiprobe ANN — approximate by design → rows-only driver
+    # check; recall vs brute force pinned in tests/test_similarity.py
+    out = similarity.ivf_topk(
+        read_table(spark, sf_dir, "embeddings"), k=5, n_clusters=16, n_probe=2
+    )
+    return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
+
+
 def q_near_dup(spark, sf_dir):
     """Embedding near-dup pairs, exact (brute force): the SQL-parity
     baseline; the LSH-bucketed scale path is pytest-pinned instead."""
@@ -458,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sx_2d": q_sx_2d,
         "s_cosine_topk": q_cosine_topk,
         "s_ann_topk": q_ann_topk,
+        "s_ivf_topk": q_ivf_topk,
         "s_near_dup": q_near_dup,
         "a_rank_ops": q_rank_ops,
     }

@@ -85,6 +85,21 @@ def test_ann_blocked_equals_expression_form(emb):
     assert np.allclose(a["cosine"], b["cosine"], atol=1e-9)
 
 
+def test_ivf_recall_beats_lsh(emb):
+    df, _ = emb
+    exact = S.cosine_topk(df, k=3).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    ivf = S.ivf_topk(df, k=3, n_clusters=8, n_probe=3).toPandas()
+    i = {(r.id_a, r.id_b) for r in ivf.itertuples()}
+    recall = len(e & i) / len(e)
+    # multiprobe IVF on 120 vecs / 8 cells: high recall, planted pair found
+    assert recall > 0.6, recall
+    assert (3, 7) in i
+    # every query answered with exactly k (or fewer if probes tiny)
+    counts = ivf.groupby("id_a").size()
+    assert counts.max() <= 3
+
+
 def test_ann_plan_is_bucketed_join(emb):
     df, _ = emb
     plan = S.ann_topk_lsh(df, k=3, n_planes=4)._jdf.queryExecution().executedPlan().toString()
