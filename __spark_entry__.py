@@ -213,6 +213,37 @@ def q_quantile(spark, sf_dir):
     )
 
 
+def q_dim_join(spark, sf_dir):
+    """Classic dim equi-join (J5) with an explicitly broadcast small side:
+    revenue by market segment."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    """Session-level aggregates on top of sessionize (W9): the feature a
+    training pipeline actually joins back to events."""
+    df = W.sessionize(_events(spark, sf_dir), gap_seconds=21600,
+                      entity="user_id", order="ts")
+    return df.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r(F.sum("value")).alias("sum_value"),
+        _r(
+            F.max(F.col("ts").cast("timestamp").cast("double"))
+            - F.min(F.col("ts").cast("timestamp").cast("double"))
+        ).alias("duration_s"),
+    )
+
+
 def q_rollup(spark, sf_dir):
     """Multi-granularity rollup (hypertable-style): per (event_type, day),
     per event_type, and grand total in one pass (partial-agg reuse)."""
@@ -453,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_quantile": q_quantile,
         "a_znorm": q_znorm,
         "a_rollup": q_rollup,
+        "j_dim_join": q_dim_join,
+        "w_session_stats": q_session_stats,
         "t_token_count": q_token_count,
         "t_token_regex": q_token_regex,
         "t_lang_id": q_lang_id,
@@ -804,6 +837,28 @@ def oracle_sql() -> dict[str, str]:
                    round((value - avg(value) OVER w) / stddev_samp(value) OVER w, {_R}) AS z
             FROM events
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "j_dim_join": f"""
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), {_R}) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "w_session_stats": f"""
+            WITH s AS (
+              SELECT user_id, value, epoch(ts) AS t,
+                sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS session_id
+              FROM (
+                SELECT *, lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+                FROM events
+              )
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), {_R}) AS sum_value,
+                   round(max(t) - min(t), {_R}) AS duration_s
+            FROM s GROUP BY user_id, session_id
         """,
         "a_rollup": f"""
             SELECT event_type, CAST(day AS VARCHAR) AS day, n, sum_value FROM (

@@ -196,6 +196,40 @@ def test_duplicate_query_rows_kept(spark):
     assert (out["value"] == 7.0).all()
 
 
+def test_composite_key_asof(spark):
+    """as-of over a composite key (entity, region) — each key pair keeps
+    its own timeline."""
+    state = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a", "a", "a", "b"],
+                "region": ["eu", "us", "eu", "eu"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-01"]
+                ),
+                "value": [1.0, 2.0, 3.0, 9.0],
+            }
+        )
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a", "a", "b", "b"],
+                "region": ["eu", "us", "eu", "us"],
+                "q_ts": pd.to_datetime(["2024-01-02"] * 4),
+                "q_id": [0, 1, 2, 3],
+            }
+        )
+    )
+    out = (
+        asof_join(q, state, on=["entity_id", "region"])
+        .toPandas()
+        .sort_values("q_id")
+    )
+    assert out["value"].tolist()[:3] == [1.0, 2.0, 9.0]
+    assert pd.isna(out["value"].iloc[3])  # (b, us) has no state
+
+
 def test_null_state_value_preserved(spark):
     """A matched state row with NULL value must yield NULL (not an older value)."""
     state = spark.createDataFrame(
