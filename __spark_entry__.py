@@ -369,6 +369,29 @@ def q_tpi_2d(spark, sf_dir):
     return out.select("y", "x", _r("tpi").alias("tpi"))
 
 
+def q_valley_2d(spark, sf_dir):
+    """Valley index over the events grid (rotated matched-filter bank).
+
+    Rows-only driver check: the angle-argmax is decided by strict float
+    comparisons of convolution scores, so a SQL oracle would be
+    tie-fragile; whole-grid numpy parity is pinned in tests/test_tiles.py
+    instead.
+    """
+    from topo_descriptors_spark.operators import tiles
+
+    grid = _grid_from_events(spark, sf_dir)
+    stats = grid.agg(
+        F.avg("value").alias("m"), F.stddev_pop("value").alias("s")
+    ).first()
+    out = tiles.valley_ridge_2d(
+        grid, (GRID_N, GRID_N), size=7, mode="valley", angle_step=30,
+        tile_size=48, mean=float(stats.m), std=float(stats.s),
+    )
+    return out.select(
+        "y", "x", _r("index_norm").alias("index_norm"), "index_dir"
+    )
+
+
 def q_sx_2d(spark, sf_dir):
     from topo_descriptors_spark.operators import tiles
 
@@ -498,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": q_simhash,
         "g_tpi_2d": q_tpi_2d,
         "g_sx_2d": q_sx_2d,
+        "g_valley_2d": q_valley_2d,
         "s_cosine_topk": q_cosine_topk,
         "s_ann_topk": q_ann_topk,
         "s_ivf_topk": q_ivf_topk,
