@@ -245,3 +245,72 @@ def asof_join_bucketed(
     keep.append(F.col("_match.matched_ts").alias("matched_ts"))
     keep.extend(F.col(f"_match.{c}").alias(c) for c in value_cols)
     return out.select(*keep)
+
+
+def asof_with_frame_features(
+    seq_df: DataFrame,
+    queries_df: DataFrame,
+    on: list[str] | str,
+    pos: str = "pos",
+    q_pos: str = "q_pos",
+    value: str = "value",
+    scales_pxl: list[int] = (9,),
+) -> DataFrame:
+    """Fused single-shuffle plan: frame features (TPI + rolling std per
+    scale) AND the point-in-time match computed in ONE window pass.
+
+    Trick: query rows are interleaved into the sequence with NULL values
+    and a composite order key ``2*pos + side``.  RANGE frames over the
+    composite key span exactly the positions ``[p-k, p+k]`` and ignore
+    the null-valued query rows (SQL aggregates skip nulls), so state
+    rows get bit-identical features to the two-pass plan; the as-of
+    match is the usual last-state struct over an unbounded row frame.
+
+    Each INPUT is exchanged exactly once — the computed feature table is
+    never re-shuffled (the two-pass plan shuffles the sequence for the
+    feature window and then moves the full feature output again for the
+    as-of sort).  At cluster scale this halves the bytes on the wire of
+    the dominant table.  Locally it is
+    roughly cost-neutral (sliding RANGE frames evaluate slower than ROW
+    frames), so the default pipelines keep the two-pass form; use this
+    when the shuffle, not the CPU, is the bottleneck.  Only
+    frame-aggregate features fuse — lag/lead-based features (Gaussian
+    bank, Sx) would see the interleaved query rows and break.
+
+    Requires integer positions (the composite key doubles them).
+    Equivalence with the two-pass plan is pinned in tests/test_asof.py.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    s0 = seq_df.select(
+        *on, F.col(pos).alias("_p"), F.col(value).alias("_v"), F.lit(0).alias("_sd")
+    )
+    q0 = queries_df.select(
+        *on,
+        F.col(q_pos).alias("_p"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_sd"),
+    )
+    u = s0.unionByName(q0).withColumn("_c", F.col("_p") * 2 + F.col("_sd"))
+    order = Window.partitionBy(*on).orderBy("_c")
+    feat_cols = []
+    names = []
+    for d in scales_pxl:
+        k = int(d) // 2
+        wr = order.rangeBetween(-2 * k, 2 * k)
+        tpi = F.col("_v") - (F.sum("_v").over(wr) - F.col("_v")) / (
+            F.count("_v").over(wr) - 1
+        )
+        feat_cols += [tpi.alias(f"tpi_{d}"), F.stddev_samp("_v").over(wr).alias(f"std_{d}")]
+        names += [f"tpi_{d}", f"std_{d}"]
+    u = u.select("*", *feat_cols)
+    wl = order.rowsBetween(Window.unboundedPreceding, 0)
+    state = F.when(
+        F.col("_sd") == 0,
+        F.struct(F.col("_p").alias("matched_ts"), *[F.col(n) for n in names]),
+    )
+    u = u.withColumn("_m", F.last(state, ignorenulls=True).over(wl))
+    keep = [F.col(c) for c in on]
+    keep.append(F.col("_p").alias(q_pos))
+    keep.append(F.col("_m.matched_ts").alias("matched_ts"))
+    keep.extend(F.col(f"_m.{n}").alias(n) for n in names)
+    return u.where(F.col("_sd") == 1).select(*keep)
