@@ -802,9 +802,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w_sessionize": """
             SELECT event_id, user_id,
-              sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
+              (sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-              AS session_id
+              )::BIGINT AS session_id
             FROM (
               SELECT *, lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
               FROM events
@@ -871,9 +871,9 @@ def oracle_sql() -> dict[str, str]:
         "w_session_stats": f"""
             WITH s AS (
               SELECT user_id, value, epoch(ts) AS t,
-                sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
+                (sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                AS session_id
+                )::BIGINT AS session_id
               FROM (
                 SELECT *, lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
                 FROM events
