@@ -28,6 +28,7 @@ from topo_descriptors_spark.sources.io import read_table
 SF_SMOKE = "/root/testdata/sf0.001"
 
 _R = 6  # float rounding for hash stability
+EMB_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md, all SFs)
 
 
 def _r(c, n=_R):
@@ -322,8 +323,8 @@ def q_minhash_sig(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    # probabilistic banding → rows-only check by the driver; the operator's
-    # recall/precision is pinned in tests/test_text_dedup.py instead
+    # fully deterministic (portable md5 hashes + fixed banding) — exact
+    # DuckDB oracle replays signature, banding, bucket cap, and est_jaccard
     return dedup.minhash_dedup_pairs(
         _docs(spark, sf_dir), num_perms=16, bands=16, threshold=0.4
     )
@@ -415,8 +416,10 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    # IVF multiprobe ANN — approximate by design → rows-only driver
-    # check; recall vs brute force pinned in tests/test_similarity.py
+    # IVF multiprobe ANN with deterministic lowest-id centroids
+    # (lloyd_steps=0) — the whole pipeline (centroid pick, probe
+    # assignment, per-cell top-k, global dedupe) is replayed exactly by
+    # the DuckDB oracle; Lloyd-refined recall is pinned in pytest
     out = similarity.ivf_topk(
         read_table(spark, sf_dir, "embeddings"), k=5, n_clusters=16, n_probe=2
     )
@@ -462,11 +465,13 @@ def q_rank_ops(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    # LSH-bucketed ANN (Arrow-blocked form) — approximate by design →
-    # rows-only driver check; recall vs brute force and equivalence to
-    # the expression form pinned in tests/test_similarity.py
+    # LSH-bucketed ANN (Arrow-blocked form); the seeded hyperplanes are
+    # deterministic, so the DuckDB oracle inlines them as literals and
+    # replays bucket assignment + within-bucket ranking exactly.
+    # dim is passed so plan construction launches no Spark job.
     out = similarity.ann_topk_blocked(
-        read_table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id", n_planes=4
+        read_table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
+        n_planes=4, dim=EMB_DIM,
     )
     return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
 
@@ -671,6 +676,151 @@ def _d_simhash_sql() -> str:
         SELECT doc_id,
                (CASE WHEN len(wl) > 0 THEN ({terms}) ELSE 0 END)::BIGINT AS simhash
         FROM h
+    """
+
+
+def _d_minhash_pairs_sql(
+    num_perms: int = 16, bands: int = 16, max_bucket: int = 200,
+    threshold: float = 0.4,
+) -> str:
+    """Replays dedup.minhash_dedup_pairs exactly: portable-md5 shingle
+    hashes -> affine MinHash signature -> banding -> bucket cap ->
+    distinct pairs -> signature-agreement est_jaccard >= threshold."""
+    h = _DH.format(s="s")
+    elems = ", ".join(
+        f"(list_min(list_transform(hs, h -> ((h % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME})))::BIGINT"
+        for a, b in minhash_params(num_perms)
+    )
+    rpb = num_perms // bands
+    band_exprs = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"sig[{i + 1}]" for i in range(b * rpb, (b + 1) * rpb))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_DW} AS wl FROM documents),
+        sh AS (SELECT doc_id, text, {_D_SHINGLES} AS shl FROM w),
+        hs AS (SELECT doc_id,
+                 CASE WHEN len(shl) > 0 THEN list_transform(shl, s -> {h})
+                      ELSE [{_DH.format(s='text')}] END AS hs FROM sh),
+        sig AS (SELECT doc_id, [{elems}] AS sig FROM hs),
+        banded AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, {bands - 1})) AS band_id,
+                 unnest([{band_exprs}]) AS band_key
+          FROM sig
+        ),
+        counts AS (SELECT band_id, band_key, count(*) AS n FROM banded GROUP BY 1, 2),
+        small AS (
+          SELECT b.doc_id, b.band_id, b.band_key FROM banded b
+          JOIN counts c ON b.band_id = c.band_id AND b.band_key = c.band_key
+          WHERE c.n <= {max_bucket}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM small a JOIN small b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, est_jaccard FROM (
+          SELECT p.id_a, p.id_b,
+                 len(list_filter(generate_series(1, {num_perms}),
+                                 i -> sa.sig[i] = sb.sig[i])) / {float(num_perms)!r}
+                   AS est_jaccard
+          FROM pairs p
+          JOIN sig sa ON p.id_a = sa.doc_id
+          JOIN sig sb ON p.id_b = sb.doc_id
+        ) WHERE est_jaccard >= {float(threshold)!r}
+    """
+
+
+# normalized DOUBLE[] embeddings — shared prefix of the ANN oracles
+_S_UNIT = """
+    n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM n)
+"""
+
+
+def _s_ann_sql(k: int = 5, n_planes: int = 4, seed: int = 7) -> str:
+    """Replays similarity.ann_topk_blocked: seeded hyperplanes inlined as
+    literals (raw-vector sign buckets), normalize-then-dot cosine rounded
+    to 9dp before ranking, ties on neighbor id ascending."""
+    planes = similarity.hyperplanes(EMB_DIM, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+        WITH {_S_UNIT},
+        b AS (SELECT vec_id, u, ({bucket}) AS bucket FROM u),
+        p AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 round(list_dot_product(a.u, b2.u), 9) AS cosine
+          FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+          FROM p
+        )
+        SELECT id_a, id_b, rank, round(cosine, {_R}) AS cosine
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _s_ivf_sql(k: int = 5, n_clusters: int = 16, n_probe: int = 2) -> str:
+    """Replays similarity.ivf_topk (lloyd_steps=0): centroids = the
+    n_clusters lowest-id vectors (normalized), multiprobe to the n_probe
+    most-similar cells (ties -> lowest cell), per-cell exact top-k, then
+    global dedupe + re-rank."""
+    return f"""
+        WITH {_S_UNIT},
+        cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS cu
+          FROM u ORDER BY vec_id LIMIT {n_clusters}
+        ),
+        sims AS (
+          SELECT a.vec_id, c.cell, list_dot_product(a.u, c.cu) AS sim
+          FROM u a CROSS JOIN cent c
+        ),
+        probes AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+            FROM sims
+          ) WHERE pr <= {n_probe}
+        ),
+        members AS (
+          SELECT p.cell, p.vec_id, u.u FROM probes p JOIN u USING (vec_id)
+        ),
+        cand AS (
+          SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.u, b.u), 9) AS cosine
+          FROM members a JOIN members b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ),
+        cellk AS (
+          SELECT id_a, id_b, cosine FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY cell, id_a ORDER BY cosine DESC, id_b ASC) AS rk
+            FROM cand
+          ) WHERE rk <= {k}
+        ),
+        merged AS (
+          SELECT id_a, id_b, max(cosine) AS cosine FROM cellk GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+          FROM merged
+        )
+        SELECT id_a, id_b, rank, round(cosine, {_R}) AS cosine
+        FROM r WHERE rank <= {k}
     """
 
 
@@ -941,6 +1091,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "d_minhash_sig": _d_minhash_sig_sql(8),
+        "d_minhash_pairs": _d_minhash_pairs_sql(16, 16, 200, 0.4),
+        "s_ann_topk": _s_ann_sql(5, 4, 7),
+        "s_ivf_topk": _s_ivf_sql(5, 16, 2),
         "d_ngram_jaccard": f"""
             WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
             s0 AS (SELECT doc_id, {_D_SHINGLES} AS shl FROM w),

@@ -106,3 +106,41 @@ def test_ann_plan_is_bucketed_join(emb):
     # candidate join must be an equi-join on the bucket (hash or sort-merge),
     # NOT a cartesian/broadcast-nested-loop
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_lloyd_refinement_improves_recall(emb):
+    df, _ = emb
+    exact = S.cosine_topk(df, k=3).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+
+    def recall(lloyd_steps):
+        got = S.ivf_topk(
+            df, k=3, n_clusters=8, n_probe=2, lloyd_steps=lloyd_steps
+        ).toPandas()
+        g = {(r.id_a, r.id_b) for r in got.itertuples()}
+        return len(e & g) / len(e)
+
+    r0, r2 = recall(0), recall(2)
+    # Lloyd-refined centroids spread the cells -> better recall than the
+    # crude lowest-id pick (measured on this fixture: r0 < r2); refined
+    # must also be deterministic (same result twice)
+    assert r2 >= r0, (r0, r2)
+    assert r2 > 0.5, (r0, r2)
+    again = recall(2)
+    assert again == r2
+
+
+def test_ann_planning_launches_no_job(emb):
+    """With dim passed, building the ANN plans must not trigger .first()
+    (i.e. no Spark job at plan-construction time)."""
+    df, _ = emb
+    guarded = df.select("vec_id", "embedding")
+
+    def boom(*a, **k):
+        raise AssertionError("plan construction launched a Spark action")
+
+    guarded.first = boom
+    guarded.head = boom
+    S.ann_topk_lsh(guarded, k=3, n_planes=4, dim=16)
+    S.ann_topk_blocked(guarded, k=3, n_planes=4, dim=16)
+    S.embedding_near_dup_pairs(guarded, threshold=0.99, dim=16)

@@ -98,13 +98,19 @@ def ann_topk_lsh(
     vec: str = "embedding",
     n_planes: int = 8,
     round_digits: int = 9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: candidates restricted to the
     same sign-pattern bucket, then exact cosine + ranking within bucket.
 
     Recall is tested against :func:`cosine_topk` in pytest; raise
-    ``n_planes`` for bigger corpora (bucket size ~ n / 2^planes)."""
-    dim = len(df.select(vec).first()[0])
+    ``n_planes`` for bigger corpora (bucket size ~ n / 2^planes).
+
+    Pass ``dim`` (the embedding dimensionality, a schema-level fact) so
+    plan construction launches NO Spark job; the ``.first()`` fallback is
+    a convenience for exploratory use only."""
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes)
     withb = with_norm(df.select(id_col, vec), vec).withColumn(
         "_bucket", lsh_bucket_col(vec, planes)
@@ -140,6 +146,7 @@ def ann_topk_blocked(
     n_planes: int = 8,
     round_digits: int = 9,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Arrow-vectorized ANN: the production form of :func:`ann_topk_lsh`.
 
@@ -164,8 +171,8 @@ def ann_topk_blocked(
         StructType,
     )
 
-    first = df.select(vec).first()
-    dim = len(first[0])
+    if dim is None:  # schema-level fact; pass it to keep planning job-free
+        dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     id_dtype = dict(df.dtypes)[id_col]
 
@@ -228,16 +235,21 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 2,
     round_digits: int = 9,
+    lloyd_steps: int = 0,
+    sample_limit: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer + within-cell search.
 
-    Centroids are the ``n_clusters`` lowest-id vectors (deterministic —
-    no RNG, no k-means iterations; at lake scale you'd refine them with
-    a couple of sampled Lloyd steps, the assignment plumbing is
-    identical).  Every vector is replicated into its ``n_probe``
-    nearest cells (multiprobe — the IVF answer to LSH's missed-neighbor
-    problem); exact cosine top-k runs per cell via one BLAS matmul, and
-    a global top-k per query dedupes the probes.
+    Centroids start as the ``n_clusters`` lowest-id vectors
+    (deterministic — no RNG) and are optionally refined with
+    ``lloyd_steps`` spherical-k-means iterations over the
+    ``sample_limit`` lowest-id vectors (still fully deterministic: fixed
+    sample, argmax ties to the lowest cell).  The fit is a bounded
+    driver-side step — at lake scale the sample is a LIMIT over the
+    sorted id index, never a full scan.  Every vector is replicated into
+    its ``n_probe`` nearest cells (multiprobe — the IVF answer to LSH's
+    missed-neighbor problem); exact cosine top-k runs per cell via one
+    BLAS matmul, and a global top-k per query dedupes the probes.
 
     Shuffle profile: centroid table is broadcast (tiny); the only wide
     movement is the n_probe-fold replication grouped by cell — bounded,
@@ -253,11 +265,22 @@ def ivf_topk(
         StructType,
     )
 
+    n_fit = max(n_clusters, sample_limit) if lloyd_steps > 0 else n_clusters
     cent_rows = (
-        df.select(id_col, vec).orderBy(id_col).limit(n_clusters).collect()
+        df.select(id_col, vec).orderBy(id_col).limit(n_fit).collect()
     )
-    centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sample = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = sample[:n_clusters].copy()
+    for _ in range(lloyd_steps):
+        assign = np.argmax(sample @ centroids.T, axis=1)  # ties -> lowest cell
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    centroids[c] = m / nrm
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cells(v: pd.Series) -> pd.Series:
@@ -328,11 +351,14 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec: str = "embedding",
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), LSH-bucketed.  High thresholds pair with few planes:
-    near-identical vectors almost always share the full sign pattern."""
-    dim = len(df.select(vec).first()[0])
+    near-identical vectors almost always share the full sign pattern.
+    Pass ``dim`` to keep plan construction job-free."""
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes)
     withb = with_norm(df.select(id_col, vec), vec).withColumn(
         "_bucket", lsh_bucket_col(vec, planes)
