@@ -373,10 +373,10 @@ def q_tpi_2d(spark, sf_dir):
 def q_valley_2d(spark, sf_dir):
     """Valley index over the events grid (rotated matched-filter bank).
 
-    Rows-only driver check: the angle-argmax is decided by strict float
-    comparisons of convolution scores, so a SQL oracle would be
-    tie-fragile; whole-grid numpy parity is pinned in tests/test_tiles.py
-    instead.
+    Convolution scores are rounded to 6dp before the angle argmax
+    (score_round) so the strict-greater/earliest-wins fold is
+    reproducible across engines; the DuckDB oracle inlines the rotated
+    kernel weights as offset literals and replays the same fold.
     """
     from topo_descriptors_spark.operators import tiles
 
@@ -387,9 +387,45 @@ def q_valley_2d(spark, sf_dir):
     out = tiles.valley_ridge_2d(
         grid, (GRID_N, GRID_N), size=7, mode="valley", angle_step=30,
         tile_size=48, mean=float(stats.m), std=float(stats.s),
+        score_round=_R,
     )
     return out.select(
         "y", "x", _r("index_norm").alias("index_norm"), "index_dir"
+    )
+
+
+def q_gaussian_2d(spark, sf_dir):
+    """2-D Gaussian smooth (W1) through the gate: reflect padding at the
+    global edge, replayed relationally by the oracle's two separable
+    passes with mirrored indices."""
+    from topo_descriptors_spark.operators import tiles
+
+    grid = _grid_from_events(spark, sf_dir)
+    out = tiles.gaussian_2d(grid, (GRID_N, GRID_N), sigma=1.5, tile_size=48)
+    return out.select("y", "x", _r("smooth").alias("smooth"))
+
+
+def q_std_2d(spark, sf_dir):
+    """2-D rolling std (W3) over the circular kernel, zero padding."""
+    from topo_descriptors_spark.operators import tiles
+
+    grid = _grid_from_events(spark, sf_dir)
+    out = tiles.std_2d(grid, (GRID_N, GRID_N), size=5, tile_size=48)
+    return out.select("y", "x", _r("std").alias("std"))
+
+
+def q_gradient_2d(spark, sf_dir):
+    """2-D gradient/slope/aspect (W4), sigma>1 Gaussian path: smooth with
+    reflect padding then np.gradient central differences (one-sided at
+    the global border)."""
+    from topo_descriptors_spark.operators import tiles
+
+    grid = _grid_from_events(spark, sf_dir)
+    out = tiles.gradient_2d(grid, (GRID_N, GRID_N), sigma=2.0, tile_size=48)
+    return out.select(
+        "y", "x",
+        _r("dx").alias("dx"), _r("dy").alias("dy"),
+        _r("slope").alias("slope"), _r("aspect").alias("aspect"),
     )
 
 
@@ -527,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_tpi_2d": q_tpi_2d,
         "g_sx_2d": q_sx_2d,
         "g_valley_2d": q_valley_2d,
+        "g_gaussian_2d": q_gaussian_2d,
+        "g_std_2d": q_std_2d,
+        "g_gradient_2d": q_gradient_2d,
         "s_cosine_topk": q_cosine_topk,
         "s_ann_topk": q_ann_topk,
         "s_ivf_topk": q_ivf_topk,
@@ -861,13 +900,162 @@ def _g_tpi2d_sql() -> str:
     """
 
 
+def _reflect_idx(expr: str) -> str:
+    """Symmetric (ndimage 'reflect') index mapping into [0, GRID_N)."""
+    return (
+        f"CASE WHEN ({expr}) < 0 THEN -({expr}) - 1 "
+        f"WHEN ({expr}) >= {GRID_N} THEN {2 * GRID_N - 1} - ({expr}) "
+        f"ELSE ({expr}) END"
+    )
+
+
+def _smooth_ctes(sigma: float, out: str = "sm") -> str:
+    """CTE fragments computing the separable reflect-padded Gaussian of
+    ``grid`` into ``{out}(y, x, v)`` — mirrors kernels.gaussian_filter
+    (y pass then x pass, radius int(4*sigma+0.5))."""
+    from topo_descriptors_spark.functions.kernels import gaussian_kernel1d
+
+    wts = gaussian_kernel1d(sigma)
+    r = len(wts) // 2
+    kw_rows = ", ".join(f"({i - r}, {float(w)!r})" for i, w in enumerate(wts))
+    return f"""
+        kw_{out}(d, w) AS (VALUES {kw_rows}),
+        py_{out} AS (
+          SELECT g.y, g.x, sum(n.value * o.w) AS v
+          FROM grid g CROSS JOIN kw_{out} o
+          JOIN grid n ON n.x = g.x AND n.y = {_reflect_idx('g.y + o.d')}
+          GROUP BY 1, 2
+        ),
+        {out} AS (
+          SELECT g.y, g.x, sum(n.v * o.w) AS v
+          FROM py_{out} g CROSS JOIN kw_{out} o
+          JOIN py_{out} n ON n.y = g.y AND n.x = {_reflect_idx('g.x + o.d')}
+          GROUP BY 1, 2
+        )
+    """
+
+
+def _g_gaussian2d_sql(sigma: float = 1.5) -> str:
+    return f"""
+        WITH grid AS ({_D_GRID}),
+        {_smooth_ctes(sigma)}
+        SELECT y, x, round(v, {_R}) AS smooth FROM sm
+    """
+
+
+def _g_std2d_sql(size: int = 5) -> str:
+    from topo_descriptors_spark.functions.kernels import circular_kernel
+
+    k = circular_kernel(size)
+    mid = int(size / 2)
+    offs = [
+        f"({dy - mid}, {dx - mid})"
+        for dy in range(size)
+        for dx in range(size)
+        if k[dy, dx] > 0
+    ]
+    ksum = float(k.sum())
+    return f"""
+        WITH grid AS ({_D_GRID}),
+        offs(dy, dx) AS (VALUES {', '.join(offs)}),
+        conv AS (
+          SELECT g.y, g.x,
+                 coalesce(sum(n.value), 0.0) AS sd,
+                 coalesce(sum(n.value * n.value), 0.0) AS sq
+          FROM grid g
+          CROSS JOIN offs o
+          LEFT JOIN grid n ON n.y = g.y + o.dy AND n.x = g.x + o.dx
+          GROUP BY 1, 2
+        )
+        SELECT y, x,
+               round(sqrt(greatest((sq - sd * sd / {ksum!r}) / {ksum - 1.0!r}, 0.0)), {_R}) AS std
+        FROM conv
+    """
+
+
+def _g_gradient2d_sql(sigma: float = 2.0) -> str:
+    """np.gradient over the reflect-smoothed grid: central differences in
+    the interior, one-sided at the global border (the tile kernel's
+    border-doubling on the reflected array computes exactly this)."""
+    n1 = GRID_N - 1
+    return f"""
+        WITH grid AS ({_D_GRID}),
+        {_smooth_ctes(sigma)},
+        d AS (
+          SELECT g.y, g.x,
+            CASE WHEN g.y = 0 THEN up.v - g.v
+                 WHEN g.y = {n1} THEN g.v - dn.v
+                 ELSE (up.v - dn.v) / 2 END AS dy,
+            CASE WHEN g.x = 0 THEN rt.v - g.v
+                 WHEN g.x = {n1} THEN g.v - lf.v
+                 ELSE (rt.v - lf.v) / 2 END AS dx
+          FROM sm g
+          LEFT JOIN sm up ON up.x = g.x AND up.y = g.y + 1
+          LEFT JOIN sm dn ON dn.x = g.x AND dn.y = g.y - 1
+          LEFT JOIN sm rt ON rt.y = g.y AND rt.x = g.x + 1
+          LEFT JOIN sm lf ON lf.y = g.y AND lf.x = g.x - 1
+        )
+        SELECT y, x, round(dx, {_R}) AS dx, round(dy, {_R}) AS dy,
+               round(degrees(atan(sqrt(dx * dx + dy * dy))), {_R}) AS slope,
+               round(fmod(180 + degrees(atan2(dx, dy)), 360.0), {_R}) AS aspect
+        FROM d
+    """
+
+
+def _g_valley2d_sql(size: int = 7, angle_step: int = 30) -> str:
+    """Replays tiles.valley_ridge_2d(mode='valley', score_round=6): the
+    deterministic rotated kernel bank (functions/kernels.py, reference
+    topo.py:466-531 math) is inlined as (angle, kernel, dy, dx, weight)
+    literals; per-cell scores are zero-padded convolutions rounded to
+    6dp, and the argmax fold resolves ties to the earliest angle —
+    identical to the engine's strict-greater running fold."""
+    from topo_descriptors_spark.functions import kernels as K
+
+    base = K.valley_kernels(size)
+    rows = []
+    for angle in range(0, 180, angle_step):
+        rot = K.rotate_kernels(base, float(angle))
+        for ki, kk in enumerate(rot):
+            ky, kx = kk.shape
+            ry, rx = ky // 2, kx // 2
+            for u in range(-ry, ky - ry):
+                for v in range(-rx, kx - rx):
+                    # convolution weight at offset (u, v): kernel flipped
+                    w = float(kk[ky - 1 - ry - u, kx - 1 - rx - v])
+                    if w != 0.0:
+                        rows.append(f"({angle}, {ki}, {u}, {v}, {w!r})")
+    return f"""
+        WITH grid AS ({_D_GRID}),
+        stats AS (SELECT avg(value) AS m, stddev_pop(value) AS s FROM grid),
+        z AS (SELECT y, x, (value - stats.m) / stats.s AS z FROM grid, stats),
+        offs(angle, ki, dy, dx, w) AS (VALUES {', '.join(rows)}),
+        conv AS (
+          SELECT g.y, g.x, o.angle, o.ki,
+                 round(sum(coalesce(n.z, 0.0) * o.w), {_R}) AS score
+          FROM z g CROSS JOIN offs o
+          LEFT JOIN z n ON n.y = g.y + o.dy AND n.x = g.x + o.dx
+          GROUP BY 1, 2, 3, 4
+        ),
+        best AS (SELECT y, x, angle, max(score) AS best FROM conv GROUP BY 1, 2, 3),
+        pick AS (
+          SELECT y, x, best, angle, row_number() OVER (
+            PARTITION BY y, x ORDER BY best DESC, angle ASC) AS rn
+          FROM best
+        )
+        SELECT y, x, round(greatest(best, 0.0), {_R}) AS index_norm,
+               angle::DOUBLE AS index_dir
+        FROM pick WHERE rn = 1
+    """
+
+
 def _g_sx2d_sql() -> str:
     import numpy as np
 
-    from topo_descriptors_spark.functions.geometry import sx_offsets
+    from topo_descriptors_spark.functions.geometry import sx_distance, sx_offsets
 
     offsets, dists = sx_offsets(0.0, 200.0, 50.0, 50.0, height=10.0)
-    window = int(np.abs(offsets).max())
+    # reference border-band width (topo.py:932) — matches operators.tiles.sx_2d
+    window = int(sx_distance(200.0, 50.0, 50.0).shape[0] / 2)
     rows = ", ".join(
         f"({int(dy)}, {int(dx)}, {float(d)!r})"
         for (dy, dx), d in zip(offsets, dists)
@@ -1141,6 +1329,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g_tpi_2d": _g_tpi2d_sql(),
         "g_sx_2d": _g_sx2d_sql(),
+        "g_valley_2d": _g_valley2d_sql(7, 30),
+        "g_gaussian_2d": _g_gaussian2d_sql(1.5),
+        "g_std_2d": _g_std2d_sql(5),
+        "g_gradient_2d": _g_gradient2d_sql(2.0),
         "s_cosine_topk": f"""
             WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),

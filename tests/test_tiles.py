@@ -65,6 +65,38 @@ def test_tpi_2d_matches_whole_grid(grid_df, grid):
         assert np.allclose(got, expect, atol=1e-9), f"sigma={sigma}"
 
 
+def test_gaussian_2d_matches_whole_grid(grid_df, grid):
+    for sigma in (1.0, 2.5):
+        out = T.gaussian_2d(grid_df, (NY, NX), sigma=sigma, tile_size=TILE).toPandas()
+        got = _to_plane(out, "smooth")
+        expect = K.gaussian_filter(grid, sigma)
+        assert np.allclose(got, expect, atol=1e-9), f"sigma={sigma}"
+
+
+def test_valley_ridge_score_round_parity(grid_df, grid):
+    """score_round=6 must equal the whole-grid fold with the same rounding."""
+    mean, std = grid.mean(), grid.std()
+    out = T.valley_ridge_2d(
+        grid_df, (NY, NX), size=7, mode="valley", angle_step=45,
+        tile_size=TILE, mean=mean, std=std, score_round=6,
+    ).toPandas()
+    z = (grid - mean) / std
+    kernels = K.valley_kernels(7)
+    norm = np.full(z.shape, -np.inf)
+    direction = np.empty(z.shape)
+    for angle in range(0, 180, 45):
+        rot = K.rotate_kernels(kernels, float(angle))
+        best = None
+        for k in rot:
+            conv = np.round(K.convolve2d_same(z, k), 6)
+            best = conv if best is None else np.maximum(best, conv)
+        better = best > norm
+        norm[better] = best[better]
+        direction[better] = angle
+    assert np.allclose(_to_plane(out, "index_norm"), np.clip(norm, 0, None), atol=1e-9)
+    assert np.allclose(_to_plane(out, "index_dir"), direction, atol=1e-9)
+
+
 def test_std_2d_matches_whole_grid(grid_df, grid):
     out = T.std_2d(grid_df, (NY, NX), size=9, tile_size=TILE).toPandas()
     got = _to_plane(out, "std")
@@ -137,16 +169,21 @@ def test_valley_direction_semantics(spark):
     ).all()
 
 
-def test_sx_2d_matches_whole_grid(grid_df, grid):
-    from topo_descriptors_spark.functions.geometry import sx_offsets
+@pytest.mark.parametrize("azimuth", [0.0, 30.0])
+def test_sx_2d_matches_whole_grid(grid_df, grid, azimuth):
+    from topo_descriptors_spark.functions.geometry import sx_distance, sx_offsets
 
     out = T.sx_2d(
-        grid_df, (NY, NX), azimuth=0.0, radius=300.0, res_x=50.0, res_y=50.0,
-        height=10.0, tile_size=TILE,
+        grid_df, (NY, NX), azimuth=azimuth, radius=300.0, res_x=50.0,
+        res_y=50.0, height=10.0, tile_size=TILE,
     ).toPandas()
     got = _to_plane(out, "sx")
-    offsets, dists = sx_offsets(0.0, 300.0, 50.0, 50.0, height=10.0)
-    window = int(np.abs(offsets).max())
+    offsets, dists = sx_offsets(azimuth, 300.0, 50.0, 50.0, height=10.0)
+    # reference semantics (topo.py:932, 940-941): the untouched zero band
+    # is half the DISTANCE window — wider than max|offset| for
+    # non-axis-aligned azimuths
+    window = int(sx_distance(300.0, 50.0, 50.0).shape[0] / 2)
+    assert window >= int(np.abs(offsets).max()) or azimuth == 0.0
     expect = np.nan_to_num(K.sx_grid(grid, offsets, dists, 10.0), nan=0.0)
     expect[:window, :] = 0
     expect[-window:, :] = 0

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from topo_descriptors_spark.functions import kernels as K
-from topo_descriptors_spark.functions.geometry import sx_offsets
+from topo_descriptors_spark.functions.geometry import sx_distance, sx_offsets
 
 # kernel(dense_array, (ly0, ly1, lx0, lx1), (origin_y, origin_x)) ->
 # {name: feature_plane}; bounds = the tile array's intersection with the
@@ -199,6 +199,26 @@ def _smooth(a, bounds, sigma):
     return K.gaussian_filter(reflect_outside(a, bounds), sigma) if sigma else a
 
 
+def gaussian_2d(
+    df: DataFrame,
+    grid_shape: tuple[int, int],
+    sigma: float,
+    tile_size: int = 256,
+    out_col: str = "smooth",
+    **kw,
+) -> DataFrame:
+    """2-D Gaussian smoothing (W1): separable kernel, reflect padding at
+    the GLOBAL domain edge (ndimage default — reference topo.py:172,
+    631-635).  Interior tiles see real halo data, so only border tiles
+    reflect — bit-identical to the whole-grid computation."""
+    halo = _halo_for(0, sigma)
+
+    def kern(a, b, _o):
+        return {out_col: K.gaussian_filter(reflect_outside(a, b), sigma)}
+
+    return apply_grid_kernel(df, kern, [out_col], grid_shape, tile_size, halo, **kw)
+
+
 def tpi_2d(
     df: DataFrame,
     grid_shape: tuple[int, int],
@@ -296,14 +316,23 @@ def valley_ridge_2d(
     tile_size: int = 256,
     mean: float = 0.0,
     std: float = 1.0,
+    score_round: int | None = None,
     **kw,
 ) -> DataFrame:
     """Valley/ridge index per tile.
 
     The reference z-normalizes with the GLOBAL dem mean/std after
-    smoothing (topo.py:429): compute them once
-    (``df.agg(avg, stddev_pop)``) and pass ``mean``/``std`` so every tile
-    normalizes identically.  The rotated-canvas reach sets the halo.
+    smoothing (topo.py:426-429): ``mean``/``std`` must be the statistics
+    of the SMOOTHED grid when ``sigma`` is set (of the raw grid
+    otherwise) so every tile normalizes identically — compute them with
+    ``df.agg(avg, stddev_pop)`` over the sigma-smoothed values (e.g. a
+    prior :func:`gaussian_2d` pass), exactly as tests/test_tiles.py does.
+    The rotated-canvas reach sets the halo.
+
+    ``score_round`` rounds every convolution score to that many decimals
+    BEFORE the max/argmax fold, making the angle argmax reproducible
+    across engines (ties resolve to the earliest angle on both sides) —
+    used by the driver-gate oracle.
     """
     halo = _halo_for(int(math.ceil(size * math.sqrt(2) / 2)) + 1, sigma)
     kernels = (
@@ -326,6 +355,8 @@ def valley_ridge_2d(
             best = None
             for k in rot:
                 conv = K.convolve2d_same(z, k)
+                if score_round is not None:
+                    conv = np.round(conv, score_round)
                 best = conv if best is None else np.maximum(best, conv)
             better = best > norm
             norm[better] = best[better]
@@ -359,8 +390,12 @@ def sx_2d(
     offsets, dists = sx_offsets(
         azimuth, radius, res_x, res_y, height, azimuth_arc, azimuth_steps, radius_min
     )
-    window = int(np.abs(offsets).max()) if len(offsets) else 1
-    halo = window
+    # untouched border band width = half the reference's distance window
+    # (topo.py:932, 940-941) — for non-axis-aligned azimuths this is
+    # WIDER than max|offset|, so deriving it from the offsets would
+    # compute values where the reference outputs 0
+    window = int(sx_distance(radius, res_x, res_y).shape[0] / 2)
+    halo = max(int(np.abs(offsets).max()) if len(offsets) else 1, 1)
     ny_g, nx_g = grid_shape
 
     def kern(a, b, origin):
