@@ -49,8 +49,18 @@ def main():
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
     )
 
+    # Stage the input ONCE, hash-partitioned by bucket, so each work unit
+    # reads a partition-PRUNED scan.  Filtering the unstaged table per
+    # unit would rescan the whole input N_units times: a pmod(xxhash64)
+    # predicate cannot prune parquet.  The staged table is reused on
+    # resume (guarded by its _SUCCESS marker).
+    staged = os.path.join(args.out, "_staged_input")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        tok.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    tok_staged = spark.read.parquet(staged)
+
     def unit_fn(bucket):
-        part = tok.where(F.col("bucket") == int(bucket))
+        part = tok_staged.where(F.col("bucket") == int(bucket))
         seq = part.select(
             "doc_id", F.posexplode("tokens").alias("pos", "token")
         ).select("doc_id", "pos", F.col("token").cast("double").alias("value"))

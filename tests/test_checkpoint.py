@@ -47,13 +47,17 @@ def test_resume_skips_completed(spark, out_dir):
         return fn(unit)
 
     with pytest.raises(Boom):
-        C.run_partitioned(spark, UNITS, crashing, out_dir, run_id="r1")
+        C.run_partitioned(
+            spark, UNITS, crashing, out_dir, run_id="r1", max_parallel_units=1
+        )
     assert calls == ["u0", "u1"]
     assert C.completed_units(spark, out_dir) == {"u0", "u1"}
 
     # restart: only pending units run
     calls.clear()
-    metrics = C.run_partitioned(spark, UNITS, fn, out_dir, run_id="r2")
+    metrics = C.run_partitioned(
+        spark, UNITS, fn, out_dir, run_id="r2", max_parallel_units=1
+    )
     assert calls == ["u2", "u3"]
     assert metrics["units_skipped_resume"] == 2
     assert metrics["units_run"] == 2
@@ -85,3 +89,69 @@ def test_rerun_is_noop(spark, out_dir):
     m = C.run_partitioned(spark, UNITS, fn, out_dir, run_id="b")
     assert calls == []
     assert m["units_run"] == 0 and m["units_skipped_resume"] == 4
+
+
+def test_observed_row_counts_in_markers(spark, out_dir):
+    """n_rows must come from df.observe during the write (no output
+    re-read) and land correctly in both metrics and the marker table."""
+    def fn(unit):
+        n = {"u0": 7, "u1": 31}[unit]
+        return spark.range(n).select(F.col("id"), F.lit(unit).alias("unit_name"))
+
+    m = C.run_partitioned(spark, ["u0", "u1"], fn, out_dir, run_id="obs")
+    assert m["rows"] == 38
+    markers = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir + "/_markers")
+        .toPandas()
+        .set_index("unit")
+    )
+    assert int(markers.loc["u0", "n_rows"]) == 7
+    assert int(markers.loc["u1", "n_rows"]) == 31
+
+
+def test_concurrent_units_complete_and_resume(spark, out_dir):
+    """Concurrent submission: one unit fails, the others still commit;
+    resume reruns only the failed unit."""
+    import threading
+
+    seen = set()
+    seen_lock = threading.Lock()
+
+    def fn(unit):
+        with seen_lock:
+            seen.add(unit)
+        if unit == "u2":
+            raise Boom()
+        return spark.range(50).select(F.col("id"), F.lit(unit).alias("unit_name"))
+
+    with pytest.raises(Boom):
+        C.run_partitioned(
+            spark, UNITS, fn, out_dir, run_id="c1", max_parallel_units=4
+        )
+    assert seen == set(UNITS)
+    assert C.completed_units(spark, out_dir) == {"u0", "u1", "u3"}
+
+    def fn_ok(unit):
+        return spark.range(50).select(F.col("id"), F.lit(unit).alias("unit_name"))
+
+    m = C.run_partitioned(
+        spark, UNITS, fn_ok, out_dir, run_id="c2", max_parallel_units=4
+    )
+    assert m["units_run"] == 1 and m["units_skipped_resume"] == 3
+    assert C.read_run(spark, out_dir).count() == 200
+
+
+def test_staged_bucket_scan_is_partition_pruned(spark, out_dir, tmp_path):
+    """The run_job staging pattern: a per-unit filter on the staged
+    bucket column must prune partitions at the parquet scan (one pruned
+    scan per unit, never a full rescan)."""
+    staged = str(tmp_path / "staged")
+    df = spark.range(1000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(8)).alias("bucket")
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    part = spark.read.parquet(staged).where(F.col("bucket") == 3)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert part.select(F.count(F.lit(1))).first()[0] > 0

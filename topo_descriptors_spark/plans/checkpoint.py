@@ -9,8 +9,10 @@ to the output snapshots.
 Layout under ``out_dir``::
 
     part=<unit>/...      one output partition per work unit (parquet)
-    _markers/            completion markers (parquet; one row per unit:
-                         unit, n_rows, wall_sec, finished_at, run_id)
+    _markers/u_<unit>/   completion markers (one tiny parquet dir per
+                         unit: unit, n_rows, wall_sec, finished_at,
+                         run_id — per-unit dirs so concurrent unit
+                         completions never contend on a shared commit)
     _lineage.json        inputs, params, engine version, run history
 
 A unit is marked complete ONLY after its partition write finished, so a
@@ -28,8 +30,10 @@ import json
 import os
 import time
 from collections.abc import Callable, Sequence
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from threading import Lock
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -41,7 +45,12 @@ def completed_units(spark: SparkSession, out_dir: str) -> set[str]:
     path = _markers_path(out_dir)
     try:
         return {
-            r.unit for r in spark.read.parquet(path).select("unit").distinct().collect()
+            r.unit
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .select("unit")
+            .distinct()
+            .collect()
         }
     except Exception:
         return set()
@@ -63,7 +72,11 @@ def pending_units_df(units_df: DataFrame, out_dir: str) -> DataFrame:
     table itself."""
     spark = units_df.sparkSession
     try:
-        markers = spark.read.parquet(_markers_path(out_dir)).select("unit")
+        markers = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(_markers_path(out_dir))
+            .select("unit")
+        )
     except Exception:
         return units_df
     return units_df.join(F.broadcast(markers), "unit", "left_anti")
@@ -77,6 +90,7 @@ def run_partitioned(
     run_id: str = "run",
     lineage: dict | None = None,
     on_unit_done: Callable[[str, int, float], None] | None = None,
+    max_parallel_units: int = 4,
 ) -> dict:
     """Execute ``unit_fn(unit)`` per pending work unit, writing each
     result to ``out_dir/part=<unit>`` with a completion marker.
@@ -84,6 +98,18 @@ def run_partitioned(
     Already-marked units are skipped (resume).  Returns the run metrics
     dict (also persisted).  ``unit_fn`` must be deterministic per unit —
     reruns overwrite the partition.
+
+    Scale design: row counts are captured with ``df.observe`` DURING the
+    partition write (no re-read of written output), and up to
+    ``max_parallel_units`` units run concurrently from driver threads —
+    each under its own scheduler pool so a FAIR scheduler interleaves
+    them and a partially-idle cluster stays busy.  Each unit's marker is
+    its own tiny parquet directory (``_markers/u_<unit>``), so
+    concurrent unit completions never contend on one output commit.
+    With ``max_parallel_units=1`` execution is strictly sequential in
+    ``units`` order (deterministic — useful for tests).  A failing unit
+    leaves no marker (it reruns on resume); other in-flight units finish
+    and commit before the first error is re-raised.
     """
     os.makedirs(out_dir, exist_ok=True)
     todo = pending_units(spark, units, out_dir)
@@ -91,30 +117,63 @@ def run_partitioned(
     metrics = {"run_id": run_id, "units_total": len(units),
                "units_skipped_resume": skipped, "units_run": 0, "rows": 0}
     t_run = time.monotonic()
-    for unit in todo:
-        t0 = time.monotonic()
-        df = unit_fn(unit)
-        part_path = os.path.join(out_dir, f"part={unit}")
-        df.write.mode("overwrite").parquet(part_path)
-        n_rows = spark.read.parquet(part_path).count()
-        wall = time.monotonic() - t0
-        marker = spark.createDataFrame(
-            [
-                Row(
-                    unit=str(unit),
-                    n_rows=n_rows,
-                    wall_sec=float(round(wall, 3)),
-                    finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                    run_id=run_id,
-                )
-            ]
-        )
-        # marker append is the commit point for this unit
-        marker.write.mode("append").parquet(_markers_path(out_dir))
-        metrics["units_run"] += 1
-        metrics["rows"] += n_rows
+    lock = Lock()
+
+    def _run_unit(unit) -> tuple[str, int, float]:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"unit_{unit}")
+        try:
+            t0 = time.monotonic()
+            df = unit_fn(unit)
+            obs = Observation(f"rows_{run_id}_{unit}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            part_path = os.path.join(out_dir, f"part={unit}")
+            df.write.mode("overwrite").parquet(part_path)
+            n_rows = int(obs.get["n"])  # filled by the write job itself
+            wall = time.monotonic() - t0
+            marker = spark.createDataFrame(
+                [
+                    Row(
+                        unit=str(unit),
+                        n_rows=n_rows,
+                        wall_sec=float(round(wall, 3)),
+                        finished_at=time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                        run_id=run_id,
+                    )
+                ]
+            )
+            # per-unit marker write is the commit point for this unit
+            marker.write.mode("overwrite").parquet(
+                os.path.join(_markers_path(out_dir), f"u_{unit}")
+            )
+            return str(unit), n_rows, wall
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    def _finish(result: tuple[str, int, float]) -> None:
+        unit, n_rows, wall = result
+        with lock:
+            metrics["units_run"] += 1
+            metrics["rows"] += n_rows
         if on_unit_done is not None:
-            on_unit_done(str(unit), n_rows, wall)
+            on_unit_done(unit, n_rows, wall)
+
+    if max_parallel_units <= 1:
+        for unit in todo:
+            _finish(_run_unit(unit))
+    else:
+        errors: list[Exception] = []
+        with ThreadPoolExecutor(max_workers=max_parallel_units) as pool:
+            futures = {pool.submit(_run_unit, u): u for u in todo}
+            for fut in as_completed(futures):
+                try:
+                    _finish(fut.result())
+                except Exception as exc:  # noqa: BLE001 — unit failure
+                    errors.append(exc)
+        if errors:
+            raise errors[0]
     metrics["wall_sec"] = round(time.monotonic() - t_run, 3)
 
     lineage_path = os.path.join(out_dir, "_lineage.json")
