@@ -1,0 +1,117 @@
+"""Schema validation at operator entry (P7 — the check_dem analog,
+reference helpers.py:171-189): wrong-schema inputs fail fast at the API
+boundary with a message naming the operator, column and expected type."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from topo_descriptors_spark.functions.validate import (
+    SchemaError,
+    check_table,
+    require_cols,
+)
+from topo_descriptors_spark.operators import dedup, similarity, text, tiles
+from topo_descriptors_spark.operators import window as W
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.range(10).select(
+        F.col("id").alias("entity_id"),
+        F.col("id").cast("double").alias("value"),
+        F.col("id").alias("ts"),
+        F.lit("hello world").alias("text"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+
+
+def test_missing_column_names_operator_and_candidates(df):
+    with pytest.raises(SchemaError) as ei:
+        W.tpi(df, [3], value="elevation", entity="entity_id", order="ts")
+    msg = str(ei.value)
+    assert "tpi" in msg and "'elevation'" in msg and "missing" in msg
+    assert "value" in msg  # lists present columns
+
+
+def test_wrong_type_message(df):
+    with pytest.raises(SchemaError) as ei:
+        W.tpi(df, [3], value="text", entity="entity_id", order="ts")
+    msg = str(ei.value)
+    assert "'text'" in msg and "string" in msg and "numeric" in msg
+
+
+def test_time_axis_rejected_for_string_order(df):
+    bad = df.withColumn("ts_s", F.col("ts").cast("string"))
+    with pytest.raises(SchemaError):
+        W.sessionize(bad, gap_seconds=60, entity="entity_id", order="ts_s")
+    # but a plain orderable op accepts a string order column
+    W.tpi(bad, [3], value="value", entity="entity_id", order="ts_s")
+
+
+def test_text_and_dedup_entry_checks(df):
+    with pytest.raises(SchemaError):
+        text.token_count(df.drop("text"))
+    with pytest.raises(SchemaError):
+        dedup.exact_dedup_groups(df, text="value")  # numeric, not string
+
+
+def test_similarity_entry_checks(df):
+    with pytest.raises(SchemaError):
+        similarity.cosine_topk(df, id_col="entity_id", vec="value")  # not array
+    with pytest.raises(SchemaError):
+        similarity.ann_topk_blocked(df.drop("embedding"), id_col="entity_id")
+
+
+def test_tiles_entry_check(df):
+    with pytest.raises(SchemaError) as ei:
+        tiles.tpi_2d(df, (8, 8), size=3, tile_size=4)  # no y/x columns
+    assert "apply_grid_kernel" in str(ei.value)
+
+
+def test_check_table_exact_contract(df):
+    expected = StructType(
+        [
+            StructField("entity_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    check_table(df, expected, name="events")  # subset match ok
+
+    wrong = StructType(
+        [
+            StructField("entity_id", StringType()),
+            StructField("altitude", DoubleType()),
+        ]
+    )
+    with pytest.raises(SchemaError) as ei:
+        check_table(df, wrong, name="events")
+    msg = str(ei.value)
+    assert msg.startswith("events:")
+    assert "'altitude'" in msg and "'entity_id'" in msg
+
+    with pytest.raises(SchemaError) as ei2:
+        check_table(df.select("entity_id", "value", "text"), expected,
+                    name="events", strict=True)
+    assert "unexpected columns" in str(ei2.value)
+
+
+def test_require_cols_is_driver_side_only(df):
+    """No Spark job may run during validation."""
+    guarded = df.select("entity_id", "value", "ts")
+
+    def boom(*a, **k):
+        raise AssertionError("validation launched a Spark action")
+
+    guarded.first = boom
+    guarded.head = boom
+    guarded.collect = boom
+    require_cols(guarded, "op", entity_id="atomic", value="numeric",
+                 ts="time_axis")

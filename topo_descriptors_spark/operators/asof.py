@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 from topo_descriptors_spark.functions.cols import axis_seconds
 
 
-_RESERVED = ("_ts", "_side", "_state", "_match", "_bucket", "_carry")
+# "matched_ts" is reserved too: it is the join's OUTPUT column, and a
+# query side already carrying it would make _unpack emit two columns of
+# that name (Spark allows duplicate names in select) — fail fast instead.
+_RESERVED = ("_ts", "_side", "_state", "_match", "_bucket", "_carry", "matched_ts")
 
 
 def _check_names(queries_df: DataFrame, value_cols: list[str]) -> None:

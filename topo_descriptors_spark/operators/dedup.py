@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from topo_descriptors_spark.functions.validate import require_cols
 from topo_descriptors_spark.operators.text import (
     HASH_PRIME,
     PORTABLE_HASH_SQL,
@@ -42,6 +43,7 @@ def exact_dedup_groups(
 ) -> DataFrame:
     """One row per distinct content: (content_hash, keep_id = min id,
     dup_count).  Map-side combine keeps the shuffle at |distinct| rows."""
+    require_cols(df, "exact_dedup_groups", **{text: "string", id_col: "atomic"})
     return (
         df.groupBy(F.md5(F.col(text).cast("binary")).alias("content_hash"))
         .agg(

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from topo_descriptors_spark.functions.validate import require_cols
+
 DOT_SQL = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
     "0D, (acc, v) -> acc + v)"
@@ -52,6 +54,7 @@ def cosine_topk(
     is reproducible across engines/summation orders; ties then break on
     neighbor id ascending.
     """
+    require_cols(df, "cosine_topk", **{id_col: "atomic", vec: "array_numeric"})
     a = with_norm(df.select(id_col, vec), vec).select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("va"), F.col("_norm").alias("na")
     )
@@ -109,6 +112,7 @@ def ann_topk_lsh(
     Pass ``dim`` (the embedding dimensionality, a schema-level fact) so
     plan construction launches NO Spark job; the ``.first()`` fallback is
     a convenience for exploratory use only."""
+    require_cols(df, "ann_topk_lsh", **{id_col: "atomic", vec: "array_numeric"})
     if dim is None:
         dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes)
@@ -171,6 +175,7 @@ def ann_topk_blocked(
         StructType,
     )
 
+    require_cols(df, "ann_topk_blocked", **{id_col: "atomic", vec: "array_numeric"})
     if dim is None:  # schema-level fact; pass it to keep planning job-free
         dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
@@ -265,6 +270,7 @@ def ivf_topk(
         StructType,
     )
 
+    require_cols(df, "ivf_topk", **{id_col: "atomic", vec: "array_numeric"})
     n_fit = max(n_clusters, sample_limit) if lloyd_steps > 0 else n_clusters
     cent_rows = (
         df.select(id_col, vec).orderBy(id_col).limit(n_fit).collect()
@@ -357,6 +363,8 @@ def embedding_near_dup_pairs(
     threshold), LSH-bucketed.  High thresholds pair with few planes:
     near-identical vectors almost always share the full sign pattern.
     Pass ``dim`` to keep plan construction job-free."""
+    require_cols(df, "embedding_near_dup_pairs",
+                 **{id_col: "atomic", vec: "array_numeric"})
     if dim is None:
         dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from topo_descriptors_spark.functions.validate import require_cols
+
 # portable 60-bit hash: identical in Spark and DuckDB (see module docstring).
 # {col} may be any SQL expression evaluating to a string.
 PORTABLE_HASH_SQL = "cast(conv(substr(md5(cast({col} as binary)),1,15),16,10) as bigint)"
@@ -68,6 +70,7 @@ def shingles_from_words_sql(wcol: str, n: int = 3) -> str:
 
 
 def with_words(df: DataFrame, text: str = "text", out: str = "_words") -> DataFrame:
+    require_cols(df, "with_words", **{text: "string"})
     """Materialize the tokenized words array as a column.
 
     Performance-critical: a words/hash array referenced N times must be a
@@ -93,6 +96,7 @@ def with_shingle_hashes(
 
 
 def token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -> DataFrame:
+    require_cols(df, "token_count", **{text: "string"})
     return df.withColumn(out, F.size(words_col(text)))
 
 
@@ -108,6 +112,7 @@ def token_count_regex(
     """Regex token counting (BPE-ish pre-tokenization).  The pattern goes
     in as a Column literal, NOT an expr() string — Spark SQL string
     literals eat single backslashes, silently corrupting '\\s'."""
+    require_cols(df, "token_count_regex", **{text: "string"})
     return df.withColumn(
         out, F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
     )

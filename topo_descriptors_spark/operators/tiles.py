@@ -47,6 +47,7 @@ from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from topo_descriptors_spark.functions import kernels as K
 from topo_descriptors_spark.functions.geometry import sx_distance, sx_offsets
+from topo_descriptors_spark.functions.validate import require_cols
 
 # kernel(dense_array, (ly0, ly1, lx0, lx1), (origin_y, origin_x)) ->
 # {name: feature_plane}; bounds = the tile array's intersection with the
@@ -135,6 +136,8 @@ def apply_grid_kernel(
     Output: one row per core input cell with (y, x, *out_cols); cells
     null in the original input yield NULL features.
     """
+    require_cols(df, "apply_grid_kernel",
+                 **{y: "numeric", x: "numeric", value: "numeric"})
     ny_g, nx_g = grid_shape
     has_mask = null_mask is not None and null_mask in df.columns
     cols = [y, x, value] + ([null_mask] if has_mask else [])

@@ -29,6 +29,19 @@ from topo_descriptors_spark.functions.planner import (
     frame_half_width,
     gaussian_weights,
 )
+from topo_descriptors_spark.functions.validate import require_cols
+
+
+def _check_seq(
+    df: DataFrame, op: str, entity: str, order: str,
+    value: str | None = None, axis: str = "orderable",
+) -> None:
+    """Entry-boundary schema check (P7, the check_dem analog): fail with
+    a clear message before any plan is built."""
+    kinds = {entity: "atomic", order: axis}
+    if value is not None:
+        kinds[value] = "numeric"
+    require_cols(df, op, **kinds)
 
 
 def entity_window(entity: str = "entity_id", order: str = "ts") -> WindowSpec:
@@ -65,6 +78,7 @@ def tpi(
     prefix: str = "tpi",
 ) -> DataFrame:
     """Multi-scale TPI in one WindowExec (one shuffle, one sort)."""
+    _check_seq(df, "tpi", entity, order, value)
     w = entity_window(entity, order)
     v = F.col(value)
     cols = [
@@ -93,6 +107,7 @@ def rolling_std(
     order: str = "ts",
     prefix: str = "std",
 ) -> DataFrame:
+    _check_seq(df, "rolling_std", entity, order, value)
     w = entity_window(entity, order)
     v = F.col(value)
     cols = [
@@ -139,6 +154,7 @@ def gaussian_ma(
     order: str = "ts",
     prefix: str = "smooth",
 ) -> DataFrame:
+    _check_seq(df, "gaussian_ma", entity, order, value)
     w = entity_window(entity, order)
     v = F.col(value)
     cols = [
@@ -181,6 +197,8 @@ def gradient(
 ) -> DataFrame:
     """Adds ``dvdt`` and ``slope_deg``.  ``order_seconds``: numeric column
     for the axis; defaults to unix seconds of ``order``."""
+    _check_seq(df, "gradient", entity, order, value,
+               axis="orderable" if order_seconds else "time_axis")
     w = entity_window(entity, order)
     t = F.col(order_seconds) if order_seconds else axis_seconds(df, order)
     dvdt, slope = gradient_cols(F.col(value), t, w)
@@ -235,6 +253,8 @@ def backfill(
     order: str = "ts",
     order_seconds: str | None = None,
 ) -> DataFrame:
+    _check_seq(df, "backfill", entity, order, value,
+               axis="orderable" if order_seconds else "time_axis")
     w = entity_window(entity, order)
     t = F.col(order_seconds) if order_seconds else axis_seconds(df, order)
     cols = fill_cols(F.col(value), t, w)
@@ -256,6 +276,7 @@ def sessionize(
     """``session_id`` is 0-based per entity; a row starts a new session
     when it is the entity's first row or its gap to the previous row
     exceeds ``gap_seconds``.  Batch analog of F.session_window."""
+    _check_seq(df, "sessionize", entity, order, axis="time_axis")
     w = entity_window(entity, order)
     t = axis_seconds(df, order)
     prev_t = F.lag(t).over(w)
@@ -309,6 +330,7 @@ def sx_1d(
     order: str = "ts",
     out: str = "sx",
 ) -> DataFrame:
+    _check_seq(df, "sx_1d", entity, order, value)
     w = entity_window(entity, order)
     c = sx_1d_col(
         F.col(value), w, radius_steps, radius_min_steps, height, step_meters
@@ -333,6 +355,7 @@ def multiscale_features(
     Spark sorts once and streams every frame over the same sorted run —
     the engine's replacement for the reference's scale loop
     (reference topo.py:53-59, scripts:25-38)."""
+    _check_seq(df, "multiscale_features", entity, order, value)
     w = entity_window(entity, order)
     v = F.col(value)
     cols: list[Column] = []
@@ -370,6 +393,7 @@ def matched_filter_bank(
     """
     import numpy as np
 
+    _check_seq(df, "matched_filter_bank", entity, order, value)
     w = entity_window(entity, order)
     v = F.col(value)
     best = None
@@ -439,6 +463,8 @@ def multiscale_features_chunked(
     """Skew-proof :func:`multiscale_features`: identical output, but the
     window partition key is (entity, chunk) with halo rows — one hot
     entity spreads over len(timeline)/chunk_size tasks."""
+    require_cols(df, "multiscale_features_chunked",
+                 **{entity: "atomic", order: "numeric", value: "numeric"})
     halo = max(frame_half_width(max(scales_pxl)), 1)
     for s in sigmas or []:
         halo = max(halo, int(4 * float(s) + 0.5))
