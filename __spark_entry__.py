@@ -305,6 +305,21 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing through the gate: binary payload column +
+    Arrow mapInPandas feature extraction (byte-histogram stand-in for the
+    stubbed codec — multimodal.py).  The oracle recomputes the histogram
+    byte-exactly from hex(encode(text))."""
+    from topo_descriptors_spark.operators import multimodal as M
+
+    media = M.attach_fake_media(_docs(spark, sf_dir))
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes",
+        *[_r(F.col("features")[i]).alias(f"f_{i}") for i in range(M.N_FEATURES)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup (documents table)
 # ---------------------------------------------------------------------------
@@ -555,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": q_lang_id,
         "t_quality": q_quality,
         "t_fingerprint": q_fingerprint,
+        "m_media_features": q_media_features,
         "d_exact_groups": q_exact_dedup_groups,
         "d_minhash_sig": q_minhash_sig,
         "d_minhash_pairs": q_minhash_pairs,
@@ -715,6 +731,33 @@ def _d_simhash_sql() -> str:
         SELECT doc_id,
                (CASE WHEN len(wl) > 0 THEN ({terms}) ELSE 0 END)::BIGINT AS simhash
         FROM h
+    """
+
+
+def _m_media_sql(bins: int = 16) -> str:
+    """Byte-exact replay of multimodal.extract_features over the fake
+    payload (text cast to binary): per-byte histogram of byte//16 bins,
+    normalized — bytes recovered from hex(encode(text)) two chars at a
+    time, so multi-byte characters are handled byte-for-byte."""
+    width = 256 // bins
+    cols = ", ".join(
+        f"round(coalesce(sum(CASE WHEN byte // {width} = {i} THEN 1 ELSE 0 END), 0)"
+        f" / greatest(any_value(n), 1), {_R}) AS f_{i}"
+        for i in range(bins)
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        bytes AS (
+          SELECT doc_id, n,
+                 ('0x' || substr(h, 2 * unnest(generate_series(1, n)) - 1, 2))::INT AS byte
+          FROM b
+        )
+        SELECT doc_id::VARCHAR AS media_id, any_value(n)::BIGINT AS n_bytes, {cols}
+        FROM bytes GROUP BY doc_id
     """
 
 
@@ -1279,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "d_minhash_sig": _d_minhash_sig_sql(8),
+        "m_media_features": _m_media_sql(16),
         "d_minhash_pairs": _d_minhash_pairs_sql(16, 16, 200, 0.4),
         "s_ann_topk": _s_ann_sql(5, 4, 7),
         "s_ivf_topk": _s_ivf_sql(5, 16, 2),

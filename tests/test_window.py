@@ -262,3 +262,51 @@ def test_reimpose_nulls(series_df):
     out = W.tpi(series_df, [9])
     out = W.reimpose_nulls(out, "is_orig_null", ["tpi_9"])
     assert out.where(F.col("is_orig_null") & F.col("tpi_9").isNotNull()).count() == 0
+
+
+def test_gaussian_ma_arrow_parity_with_expression_path(spark, sf_dir):
+    """The Arrow chunked path must equal the lag-expression bank on the
+    REAL events parquet (exercises the TIMESTAMP_NTZ roundtrip through
+    applyInPandas), including nulls and sequence edges."""
+    from topo_descriptors_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value", F.expr("CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END")
+    )
+    expr_out = (
+        W.gaussian_ma(ev, [2.0], value="value", entity="user_id", order="ts")
+        .select("event_id", "smooth_2p0")
+        .toPandas()
+    )
+    arrow_out = (
+        W.gaussian_ma_arrow(
+            ev, [2.0], value="value", entity="user_id", order="ts", chunk_size=64
+        )
+        .select("event_id", "smooth_2p0")
+        .toPandas()
+    )
+    a = expr_out.sort_values("event_id").reset_index(drop=True)
+    b = arrow_out.sort_values("event_id").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert np.allclose(
+        a["smooth_2p0"], b["smooth_2p0"], atol=1e-9, equal_nan=True
+    )
+
+
+def test_gaussian_ma_auto_switch_picks_arrow_for_large_sigma(series_df):
+    """sigma with radius > max_expr_radius must dispatch to the Arrow
+    path (plan contains FlatMapGroupsInPandas, not a lag bank); small
+    sigma stays in the window-expression plan."""
+    big = W.gaussian_ma(
+        series_df, [1.0], value="value", entity="entity_id", order="ts",
+        max_expr_radius=2, chunk_size=64,
+    )
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_big
+
+    small = W.gaussian_ma(
+        series_df, [1.0], value="value", entity="entity_id", order="ts"
+    )
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan_small
+    assert "Window" in plan_small

@@ -146,6 +146,11 @@ def gaussian_ma_col(value: Column, sigma: float, w: WindowSpec) -> Column:
     return F.when(value.isNotNull(), num / den)
 
 
+# above this kernel radius a lag-expression bank stops being profitable
+# (codegen size, per-row expression count) — switch to the Arrow path
+GAUSSIAN_EXPR_MAX_RADIUS = 64
+
+
 def gaussian_ma(
     df: DataFrame,
     sigmas: list[float],
@@ -153,8 +158,20 @@ def gaussian_ma(
     entity: str = "entity_id",
     order: str = "ts",
     prefix: str = "smooth",
+    max_expr_radius: int = GAUSSIAN_EXPR_MAX_RADIUS,
+    chunk_size: int = 65536,
 ) -> DataFrame:
+    """Gaussian MA with an automatic physical-path switch: small kernels
+    run as a lag-expression bank (whole-stage codegen); kernels wider
+    than ``max_expr_radius`` dispatch to :func:`gaussian_ma_arrow`
+    (chunked numpy convolution over Arrow batches) — same semantics,
+    parity pinned in tests/test_window.py."""
     _check_seq(df, "gaussian_ma", entity, order, value)
+    radii = [len(gaussian_weights(s)) // 2 for s in sigmas]
+    if radii and max(radii) > max_expr_radius:
+        return gaussian_ma_arrow(
+            df, sigmas, value, entity, order, prefix, chunk_size
+        )
     w = entity_window(entity, order)
     v = F.col(value)
     cols = [
@@ -162,6 +179,69 @@ def gaussian_ma(
         for s in sigmas
     ]
     return df.select("*", *cols)
+
+
+def gaussian_ma_arrow(
+    df: DataFrame,
+    sigmas: list[float],
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    prefix: str = "smooth",
+    chunk_size: int = 65536,
+) -> DataFrame:
+    """Large-sigma Gaussian MA: chunked halo windows + one numpy
+    convolution per (entity, chunk) Arrow batch.
+
+    Identical semantics to the expression bank: null neighbors drop out
+    of both numerator and kernel mass (renormalization), sequence edges
+    renormalize over the visible half-kernel, and rows whose own value is
+    null stay null.  Cost: one row_number window (sort) + one shuffle to
+    (entity, chunk) — bounded task size regardless of entity skew, and
+    O(n·r) numpy work instead of 2r+1 codegen expressions per row.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    _check_seq(df, "gaussian_ma_arrow", entity, order, value)
+    banks = {s: np.asarray(gaussian_weights(s), dtype=np.float64) for s in sigmas}
+    names = {s: f"{prefix}_{str(s).replace('.', 'p')}" for s in sigmas}
+    halo = max(len(w) // 2 for w in banks.values())
+    if halo >= chunk_size:
+        raise ValueError("kernel radius must be smaller than chunk_size")
+
+    w0 = entity_window(entity, order)
+    pos = (F.row_number().over(w0) - F.lit(1)).cast("long")
+    d = df.withColumn("_pos", pos)
+    chunked = sequence_chunks_with_halo(d, chunk_size, halo, entity, "_pos")
+
+    out_fields = list(df.schema.fields) + [
+        StructField(names[s], DoubleType()) for s in sigmas
+    ]
+    schema = StructType(out_fields)
+    in_cols = list(df.columns)
+
+    def run(pdf):
+        pdf = pdf.sort_values("_pos")
+        v = pdf[value].to_numpy(dtype=np.float64)
+        present = ~np.isnan(v)
+        vf = np.nan_to_num(v, nan=0.0)
+        core = pdf["is_core"].to_numpy(dtype=bool)
+        res = pdf.loc[core, in_cols].copy()
+        n = len(vf)
+        for s, bank in banks.items():
+            # full-mode + centered slice: np.convolve(..., "same") returns
+            # max(M, N) values, which breaks on chunks shorter than the
+            # kernel (tail chunks of short entities)
+            r = len(bank) // 2
+            num = np.convolve(vf, bank, mode="full")[r : r + n]
+            den = np.convolve(present.astype(np.float64), bank, mode="full")[r : r + n]
+            sm = np.where(present & (den > 0), num / np.where(den > 0, den, 1.0), np.nan)
+            res[names[s]] = sm[core]
+        return res
+
+    return chunked.groupBy(entity, "_chunk").applyInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
