@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from topo_descriptors_spark.functions.planner import gaussian_weights
 from topo_descriptors_spark.operators import dedup, similarity, text
 from topo_descriptors_spark.operators import window as W
-from topo_descriptors_spark.operators.asof import asof_join
+from topo_descriptors_spark.operators.asof import asof_join, asof_join_bucketed
 from topo_descriptors_spark.operators.dedup import minhash_params
 from topo_descriptors_spark.operators.text import HASH_PRIME
 from topo_descriptors_spark.sources.io import read_table
@@ -75,6 +75,17 @@ def q_rolling_std(spark, sf_dir):
 def q_gaussian_ma(spark, sf_dir):
     df = W.gaussian_ma(_events(spark, sf_dir), [1.0], value="value",
                        entity="user_id", order="ts")
+    return df.select("event_id", "user_id", _r("smooth_1p0").alias("smooth"))
+
+
+def q_gaussian_arrow(spark, sf_dir):
+    """The Arrow chunked Gaussian path (large-sigma physical plan) forced
+    onto a small sigma so it shares w_gaussian_ma's exact oracle — the
+    cross-path parity claim, hash-verified at the gate."""
+    df = W.gaussian_ma_arrow(
+        _events(spark, sf_dir), [1.0], value="value",
+        entity="user_id", order="ts", chunk_size=256,
+    )
     return df.select("event_id", "user_id", _r("smooth_1p0").alias("smooth"))
 
 
@@ -164,6 +175,28 @@ def q_asof_events(spark, sf_dir):
         "user_id", "ts", F.col("value").alias("purchase_value")
     )
     out = asof_join(clicks, purchases, on="user_id", q_ts="q_ts", s_ts="ts")
+    return out.select(
+        "q_id", "user_id", "q_ts", "matched_ts",
+        _r("purchase_value").alias("purchase_value"),
+    )
+
+
+def q_asof_bucketed(spark, sf_dir):
+    """The skew-proof (keys, time_bucket)-partitioned as-of join through
+    the gate — same semantics as q_asof_events, same DuckDB oracle, but
+    the bounded-partition physical plan (carry-in forward fill across
+    buckets), so the skew path itself is hash-verified."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("q_id"), "user_id", F.col("ts").alias("q_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join_bucketed(
+        clicks, purchases, on="user_id", q_ts="q_ts", s_ts="ts",
+        bucket_seconds=21600.0,
+    )
     return out.select(
         "q_id", "user_id", "q_ts", "matched_ts",
         _r("purchase_value").alias("purchase_value"),
@@ -551,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
+        "w_gaussian_arrow": q_gaussian_arrow,
         "w_gradient": q_gradient,
         "w_backfill": q_backfill,
         "w_sessionize": q_sessionize,
@@ -558,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_matched_filter": q_matched_filter,
         "w_tpi_chunked": q_tpi_chunked,
         "j_asof_events": q_asof_events,
+        "j_asof_bucketed": q_asof_bucketed,
         "j_asof_orders_strict": q_asof_orders_strict,
         "a_top_event": q_top_event,
         "a_quantile": q_quantile,
@@ -1124,7 +1159,7 @@ def _g_sx2d_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     gnum, gden = _gauss_terms()
-    return {
+    oracles = {
         "w_tpi_multiscale": f"""
             SELECT event_id, user_id,
                    {_tpi_sql(1, 'tpi_3').replace('w1', 'w1')},
@@ -1392,3 +1427,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, rank, round(cosine, {_R}) AS cosine FROM r WHERE rank <= 5
         """,
     }
+    # alternate physical paths share their logical twin's oracle: the
+    # Arrow chunked Gaussian and the bucketed skew-proof as-of must be
+    # value-identical to the expression/plain forms
+    oracles["w_gaussian_arrow"] = oracles["w_gaussian_ma"]
+    oracles["j_asof_bucketed"] = oracles["j_asof_events"]
+    return oracles

@@ -216,16 +216,31 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
     steady-state runs.  Measured on this box: 1->4 = 0.906, 2->8 =
     0.703, 8->32 ~ 0.35 (see BENCH/BASELINE.md).
     """
+    # INTERLEAVED rounds (N, 4N, N, 4N, ...) rather than 3xN then 3x4N:
+    # this box drifts minute-to-minute (shared VM), and a sequential
+    # protocol folds that drift straight into the efficiency ratio;
+    # alternating configs exposes both to the same drift, and the
+    # per-config median then cancels it.
+    times: dict[str, list[float]] = {SCALING_N: [], SCALING_4N: []}
     results = {}
+    for _round in range(3):
+        for cores in (SCALING_N, SCALING_4N):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cores", cores,
+                 "--sf-dir", sf_dir, "--docs", str(n_docs), "--flagship-only",
+                 "--repeats", "1"],
+                capture_output=True, text=True, timeout=3000,
+            )
+            line = [l for l in proc.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            times[cores].append(r["queries"]["flagship_tokens"])
+            results[cores] = r
     for cores in (SCALING_N, SCALING_4N):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores", cores,
-             "--sf-dir", sf_dir, "--docs", str(n_docs), "--flagship-only",
-             "--repeats", "3"],
-            capture_output=True, text=True, timeout=3000,
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        med = sorted(times[cores])[len(times[cores]) // 2]
+        results[cores]["queries"]["flagship_tokens"] = med
+        results[cores]["sequences_per_sec"] = round(n_docs / med, 1)
+        results[cores]["all_runs_sec"] = times[cores]
     thr_n = results[SCALING_N]["sequences_per_sec"]
     thr_4n = results[SCALING_4N]["sequences_per_sec"]
     eff = round((thr_4n / thr_n) / 4.0, 3)
@@ -239,10 +254,22 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
     return report
 
 
+CURATED_MARKER = "<!-- CURATED BELOW: kept verbatim across --scaling reruns -->"
+
+
 def _write_baseline_md(report: dict, results: dict) -> None:
+    """Rewrite the measured header of BENCH/BASELINE.md; everything at or
+    below CURATED_MARKER (hand-written analysis, supplementary pairs,
+    grid-parity tables) is preserved verbatim."""
     os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if CURATED_MARKER in old:
+            tail = old[old.index(CURATED_MARKER):]
     n, n4 = SCALING_N, SCALING_4N
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput + scaling evidence\n\n"
             "North rule: >=0.8 throughput scaling efficiency from N to 4N\n"
@@ -259,18 +286,7 @@ def _write_baseline_md(report: dict, results: dict) -> None:
             f"**efficiency = (thr_{n4} / thr_{n}) / 4 = {report['efficiency']}**\n\n"
             f"flagship corpus: {report['flagship_docs']} synthetic docs of\n"
             "BASELINE.json:input_hint shape (deterministic, seed-fixed).\n\n"
-            f"## Why N={n} on this sandbox\\n\\n"
-            "All local-mode 'executors' share one VM: one memory bus, one\n"
-            "virtual disk.  Measured on this box: a pure-CPU Spark job\n"
-            "scales 3.3x from 8->32 cores, but a bare 40M-row window sort\n"
-            "does not scale at all 8->32 (shared DRAM bandwidth + virtio\n"
-            "disk saturate), so 8->32 measures the box, not the engine.\n"
-            "A real 4x cluster adds memory channels/disks with its nodes;\n"
-            "the unsaturated 2->8 regime is the faithful proxy for that.\n\n"
-            "Plan-level scale evidence: one shuffle per window pass (all\n"
-            "frames share a single WindowExec), one shuffle for the as-of\n"
-            "(union sort-merge), long radix-sortable keys, AQE skew\n"
-            "handling on; see SURVEY.md §3.4 and operator docstrings.\n"
+            + (tail or "")
         )
 
 
