@@ -389,6 +389,62 @@ def q_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-corpus pipeline ops (splits, mixture sampling, packing)
+# ---------------------------------------------------------------------------
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+MIX_RATES = {"src0": 0.25, "src1": 0.75, "src2": 0.0}
+MIX_DEFAULT = 0.5
+PACK_MAX_TOKENS = 512
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by id hash (shuffle-free,
+    rerun-stable); oracle replays the same md5 hash + thresholds."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    out = P.hash_split(_docs(spark, sf_dir), SPLIT_WEIGHTS)
+    return out.select("doc_id", "split")
+
+
+def q_sample_mix(spark, sf_dir):
+    """Deterministic per-source mixture sampling (id-hash thresholding)."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    out = P.sample_by_source(
+        _docs(spark, sf_dir), MIX_RATES, default_rate=MIX_DEFAULT
+    )
+    return out.select("doc_id", "source")
+
+
+def q_pack_cumsum(spark, sf_dir):
+    """Prefix-sum sequence packing (boundary-straddling bins): one window
+    cumsum per source."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    d = text.token_count(_docs(spark, sf_dir))
+    out = P.pack_sequences_cumsum(
+        d, PACK_MAX_TOKENS, len_col="n_tokens", id_col="doc_id",
+        partition_col="source",
+    )
+    return out.select("doc_id", "source", "bin")
+
+
+def q_pack_greedy(spark, sf_dir):
+    """Exact first-fit-in-order packing (no straddle), Arrow kernel
+    vectorized over bins; oracle replays the recurrence with a recursive
+    CTE."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    d = text.token_count(_docs(spark, sf_dir))
+    out = P.pack_sequences_greedy(
+        d, PACK_MAX_TOKENS, len_col="n_tokens", id_col="doc_id",
+        partition_col="source",
+    )
+    return out.select("doc_id", "source", "bin")
+
+
+# ---------------------------------------------------------------------------
 # 2-D tile-kernel descriptors over a grid derived from events
 # (grid: y = event_id % GRID_N, x = (event_id div GRID_N) % GRID_N,
 #  value = avg(value) per cell — identical derivation in the SQL oracle)
@@ -606,6 +662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": q_quality,
         "t_fingerprint": q_fingerprint,
         "m_media_features": q_media_features,
+        "p_hash_split": q_hash_split,
+        "p_sample_mix": q_sample_mix,
+        "p_pack_cumsum": q_pack_cumsum,
+        "p_pack_greedy": q_pack_greedy,
         "d_exact_groups": q_exact_dedup_groups,
         "d_minhash_sig": q_minhash_sig,
         "d_minhash_pairs": q_minhash_pairs,
@@ -766,6 +826,71 @@ def _d_simhash_sql() -> str:
         SELECT doc_id,
                (CASE WHEN len(wl) > 0 THEN ({terms}) ELSE 0 END)::BIGINT AS simhash
         FROM h
+    """
+
+
+# DuckDB twin of pipeline.unit_hash_col (15-hex-char md5 / 2^60)
+def _d_unit_hash(key_sql: str, salt: str = "") -> str:
+    s = f"({key_sql} || '{salt}')" if salt else key_sql
+    return f"{_DH.format(s=s)} / 1152921504606846976.0"
+
+
+def _p_split_sql() -> str:
+    from topo_descriptors_spark.operators.pipeline import split_thresholds
+
+    u = _d_unit_hash("doc_id::VARCHAR")
+    case = "CASE "
+    for name, bound in split_thresholds(SPLIT_WEIGHTS):
+        case += f"WHEN {u} < {bound!r} THEN '{name}' "
+    case += "END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def _p_mix_sql() -> str:
+    u = _d_unit_hash("doc_id::VARCHAR", "mix")
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in MIX_RATES.items()
+    ) + f" ELSE {float(MIX_DEFAULT)!r} END"
+    return f"SELECT doc_id, source FROM documents WHERE {u} < {rate}"
+
+
+def _p_pack_cumsum_sql() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, source, len({_DW}) AS n_tok FROM documents)
+        SELECT doc_id, source,
+               floor(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_MAX_TOKENS})::BIGINT AS bin
+        FROM d
+    """
+
+
+def _p_pack_greedy_sql() -> str:
+    """First-fit recurrence replayed as a recursive CTE: each recursion
+    round advances every source by one document in id order."""
+    m = PACK_MAX_TOKENS
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, source, len({_DW}) AS n_tok FROM documents
+        ),
+        o AS (
+          SELECT doc_id, source, n_tok,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM d
+        ),
+        packed AS (
+          SELECT source, rn, doc_id, n_tok,
+                 0::BIGINT AS bin, n_tok::BIGINT AS fill
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.source, o.rn, o.doc_id, o.n_tok,
+                 CASE WHEN p.fill + o.n_tok <= {m} THEN p.bin ELSE p.bin + 1 END,
+                 CASE WHEN p.fill + o.n_tok <= {m} THEN p.fill + o.n_tok
+                      ELSE o.n_tok::BIGINT END
+          FROM o JOIN packed p ON o.source = p.source AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, source, bin FROM packed
     """
 
 
@@ -1358,6 +1483,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_minhash_sig": _d_minhash_sig_sql(8),
         "m_media_features": _m_media_sql(16),
+        "p_hash_split": _p_split_sql(),
+        "p_sample_mix": _p_mix_sql(),
+        "p_pack_cumsum": _p_pack_cumsum_sql(),
+        "p_pack_greedy": _p_pack_greedy_sql(),
         "d_minhash_pairs": _d_minhash_pairs_sql(16, 16, 200, 0.4),
         "s_ann_topk": _s_ann_sql(5, 4, 7),
         "s_ivf_topk": _s_ivf_sql(5, 16, 2),

@@ -1,0 +1,97 @@
+"""Training-corpus pipeline ops: deterministic splits, mixture sampling,
+sequence packing (greedy invariants + cumsum monotonicity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.RandomState(11)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{i % 3}" for i in range(n)],
+            "n_tok": rng.randint(1, 400, size=n).astype(np.int64),
+        }
+    )
+    # one pathological over-long document
+    pdf.loc[17, "n_tok"] = 5000
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, pdf
+
+
+def test_hash_split_weights_and_stability(docs):
+    df, _ = docs
+    out = P.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       id_col="doc_id").toPandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.05 < frac["val"] < 0.17
+    # stable under repartitioning (assignment depends only on the id)
+    again = P.hash_split(df.repartition(7), {"train": 0.8, "val": 0.1,
+                                             "test": 0.1}).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # a different salt derives an (almost surely) different assignment
+    salted = P.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                          salt="epoch1").toPandas()
+    m2 = out.merge(salted, on="doc_id", suffixes=("_a", "_b"))
+    assert (m2["split_a"] != m2["split_b"]).any()
+
+
+def test_sample_by_source_rates(docs):
+    df, pdf = docs
+    out = P.sample_by_source(
+        df, {"s0": 0.0, "s1": 1.0}, default_rate=0.5, source_col="source"
+    ).toPandas()
+    kept = out.groupby("source").size()
+    n_per = pdf.groupby("source").size()
+    assert "s0" not in kept.index  # rate 0 drops everything
+    assert kept["s1"] == n_per["s1"]  # rate 1 keeps everything
+    assert 0.3 * n_per["s2"] < kept["s2"] < 0.7 * n_per["s2"]
+
+
+def test_pack_greedy_invariants(docs):
+    df, _ = docs
+    max_tokens = 1000
+    out = P.pack_sequences_greedy(
+        df, max_tokens, len_col="n_tok", partition_col="source"
+    ).toPandas()
+    for src, g in out.groupby("source"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        # bins are 0-based, contiguous, non-decreasing in id order
+        assert g["bin"].iloc[0] == 0
+        steps = g["bin"].diff().dropna()
+        assert set(steps.unique()) <= {0, 1}
+        sums = g.groupby("bin")["n_tok"].agg(["sum", "count"])
+        # a bin exceeds max_tokens only if it is a single over-long doc
+        bad = sums[(sums["sum"] > max_tokens) & (sums["count"] > 1)]
+        assert bad.empty, (src, bad)
+        # greedy: a doc never fits in the previous bin (first-fit tightness)
+        fills = g.groupby("bin")["n_tok"].sum()
+        firsts = g.drop_duplicates("bin", keep="first").set_index("bin")["n_tok"]
+        for b in fills.index[1:]:
+            assert fills[b - 1] + firsts[b] > max_tokens
+
+
+def test_pack_cumsum_matches_prefix_sums(docs):
+    df, pdf = docs
+    out = P.pack_sequences_cumsum(
+        df, 1000, len_col="n_tok", partition_col="source"
+    ).toPandas()
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("doc_id")
+        prev = g["n_tok"].cumsum().shift(fill_value=0)
+        expect = (prev // 1000).to_numpy()
+        got = (
+            out[out["source"] == src].sort_values("doc_id")["bin"].to_numpy()
+        )
+        assert (got == expect).all()

@@ -1,0 +1,188 @@
+"""Training-corpus pipeline operators: deterministic splits, mixture
+sampling, and sequence packing.
+
+These are the assembly steps between "clean documents" and "training
+batches" in a large-scale tokens pipeline — all deterministic (portable
+md5-based hashing, fixed orderings) so every one has an exact DuckDB
+oracle at the driver gate.
+
+Scale design (the 100-TB story):
+
+* hash_split / sample_by_source — pure per-row expressions on top of the
+  portable hash: no shuffle, no RNG state, stable under re-runs and
+  repartitioning (the split of a row depends only on its id), and the
+  split is reproducible across engines/languages (md5 is md5).
+* pack_sequences_cumsum — one window cumsum per (source): a single
+  shuffle on a low-cardinality key, O(1) per row.  Bins can straddle a
+  boundary (the standard "pack then split at the boundary" scheme).
+* pack_sequences_greedy — exact first-fit-in-order packing (no straddle:
+  a new bin starts when the next doc would overflow).  Inherently a
+  sequential recurrence, so it runs as an Arrow kernel per (source)
+  group — but vectorized over BINS, not rows: each iteration places one
+  whole bin via searchsorted on the token cumsum, so the Python loop
+  runs O(n_bins) times regardless of document count.  For skewed
+  sources, pre-split the source into date/id ranges (packing is local by
+  construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from topo_descriptors_spark.functions.validate import require_cols
+from topo_descriptors_spark.operators.text import PORTABLE_HASH_SQL
+
+# the portable hash is the first 15 hex chars of md5 -> [0, 16^15) = [0, 2^60)
+HASH_SPACE = float(16**15)
+
+
+def unit_hash_col(id_col: str, salt: str = "") -> Column:
+    """Deterministic u in [0, 1) from the row id: portable md5 hash of
+    the id's string form (+ optional salt), scaled by 2^60.  The int64 ->
+    double conversion and the division round identically in Spark and
+    DuckDB (IEEE round-to-nearest), so comparisons against threshold
+    literals are cross-engine exact."""
+    key = f"concat(cast({id_col} as string), '{salt}')" if salt else (
+        f"cast({id_col} as string)"
+    )
+    h = PORTABLE_HASH_SQL.format(col=key)
+    return F.expr(h) / F.lit(HASH_SPACE)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, float]]:
+    """(name, cumulative_upper_bound) pairs in the dict's order,
+    normalized to sum 1; the last bound is forced to 1.0 so no row is
+    unassigned."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    names = list(weights)
+    bounds, acc = [], 0.0
+    for name in names:
+        acc += float(weights[name]) / total
+        bounds.append((name, acc))
+    bounds[-1] = (bounds[-1][0], 1.0)
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test/...) by its id
+    hash — deterministic, shuffle-free, stable under re-runs and
+    repartitioning.  ``salt`` derives independent splits from the same
+    ids (e.g. per-epoch holdouts)."""
+    require_cols(df, "hash_split", **{id_col: "atomic"})
+    u = unit_hash_col(id_col, salt)
+    expr = None
+    for name, bound in split_thresholds(weights):
+        cond = u < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out, expr)
+
+
+def sample_by_source(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a row iff its id hash falls
+    under its source's rate — the reproducible form of per-source
+    up/down-weighting when assembling a training mixture.  Rates > 1
+    mean "keep all" (upsampling needs row replication — use
+    ``F.explode(F.sequence(...))`` on ceil(rate) and a fractional keep,
+    not this filter)."""
+    require_cols(df, "sample_by_source",
+                 **{id_col: "atomic", source_col: "string"})
+    u = unit_hash_col(id_col, salt)
+    rate = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == F.lit(src)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(
+        float(default_rate)
+    )
+    return df.where(u < rate)
+
+
+def pack_sequences_cumsum(
+    df: DataFrame,
+    max_tokens: int,
+    len_col: str = "n_tok",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+    out: str = "bin",
+) -> DataFrame:
+    """Prefix-sum packing: bin = floor(preceding_token_count /
+    max_tokens) within each partition, documents in id order.  One
+    window cumsum — a doc may straddle a bin boundary (the downstream
+    loader splits it), which is what keeps this a single O(1)-per-row
+    pass at any scale."""
+    require_cols(df, "pack_sequences_cumsum",
+                 **{len_col: "numeric", id_col: "atomic"})
+    w = Window.partitionBy(partition_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = F.coalesce(F.sum(len_col).over(w), F.lit(0))
+    return df.withColumn(
+        out, F.floor(prev / F.lit(int(max_tokens))).cast("long")
+    )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    max_tokens: int,
+    len_col: str = "n_tok",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+    out: str = "bin",
+) -> DataFrame:
+    """Exact first-fit-in-order packing: within each partition (id
+    order), a new bin starts when adding the next document would exceed
+    ``max_tokens``; a document longer than ``max_tokens`` gets a bin of
+    its own.  No document straddles bins.
+
+    Arrow kernel vectorized over bins: each loop iteration places one
+    whole bin via ``searchsorted`` on the token cumsum — O(n_bins)
+    Python steps per group, never per-row."""
+    require_cols(df, "pack_sequences_greedy",
+                 **{len_col: "numeric", id_col: "atomic"})
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, LongType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        lens = pdf[len_col].to_numpy(dtype=np.int64)
+        cs = np.cumsum(lens)
+        n = len(lens)
+        bins = np.zeros(n, dtype=np.int64)
+        start, b, base = 0, 0, 0
+        while start < n:
+            j = int(np.searchsorted(cs, base + max_tokens, side="right"))
+            if j <= start:  # single over-long doc -> its own bin
+                j = start + 1
+            bins[start:j] = b
+            base = int(cs[j - 1])
+            start, b = j, b + 1
+        res = pdf.copy()
+        res[out] = bins
+        return res
+
+    return df.groupBy(partition_col).applyInPandas(pack, schema)
