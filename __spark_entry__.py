@@ -203,6 +203,25 @@ def q_asof_bucketed(spark, sf_dir):
     )
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of with a max-staleness tolerance: matches older than 6h are
+    nulled (query rows survive) — the PIT-join freshness knob, through
+    the gate."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("q_id"), "user_id", F.col("ts").alias("q_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="user_id", q_ts="q_ts", s_ts="ts",
+                    tolerance_seconds=21600.0)
+    return out.select(
+        "q_id", "user_id", "q_ts", "matched_ts",
+        _r("purchase_value").alias("purchase_value"),
+    )
+
+
 def q_asof_orders_strict(spark, sf_dir):
     """Each order sees the customer's previous (strictly earlier) order's
     total price; same-day orders pre-aggregated to max for determinism."""
@@ -336,6 +355,18 @@ def q_quality(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup word/bigram share, top-word
+    share) — within-row array expressions, no shuffle."""
+    df = text.repetition_stats(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "n_words",
+        _r("dup_word_ratio").alias("dup_word_ratio"),
+        _r("top_word_ratio").alias("top_word_ratio"),
+        _r("dup_bigram_ratio").alias("dup_bigram_ratio"),
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -649,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_tpi_chunked": q_tpi_chunked,
         "j_asof_events": q_asof_events,
         "j_asof_bucketed": q_asof_bucketed,
+        "j_asof_tolerance": q_asof_tolerance,
+        "t_repetition": q_repetition,
         "j_asof_orders_strict": q_asof_orders_strict,
         "a_top_event": q_top_event,
         "a_quantile": q_quantile,
@@ -1370,6 +1403,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "j_asof_tolerance": f"""
+            WITH j AS (
+              SELECT c.event_id AS q_id, c.user_id, c.ts AS q_ts,
+                     p.ts AS m_ts, p.value AS pv
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id AND c.ts >= p.ts
+            )
+            SELECT q_id, user_id, q_ts,
+              CASE WHEN epoch(q_ts) - epoch(m_ts) <= 21600 THEN m_ts END AS matched_ts,
+              round(CASE WHEN epoch(q_ts) - epoch(m_ts) <= 21600 THEN pv END, {_R})
+                AS purchase_value
+            FROM j
+        """,
+        "t_repetition": f"""
+            WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
+            b AS (
+              SELECT doc_id, wl,
+                CASE WHEN len(wl) >= 2
+                     THEN list_transform(generate_series(1, len(wl) - 1),
+                                         i -> wl[i] || ' ' || wl[i + 1])
+                     ELSE [] END AS bl
+              FROM w
+            )
+            SELECT doc_id, len(wl)::BIGINT AS n_words,
+              round(CASE WHEN len(wl) > 0
+                    THEN 1.0 - len(list_distinct(wl)) / len(wl)
+                    ELSE 0.0 END, {_R}) AS dup_word_ratio,
+              round(CASE WHEN len(wl) > 0
+                    THEN list_max(list_transform(list_distinct(wl),
+                           d -> len(list_filter(wl, x -> x = d)))) / len(wl)
+                    ELSE 0.0 END, {_R}) AS top_word_ratio,
+              round(CASE WHEN len(bl) > 0
+                    THEN 1.0 - len(list_distinct(bl)) / len(bl)
+                    ELSE 0.0 END, {_R}) AS dup_bigram_ratio
+            FROM b
         """,
         "j_asof_orders_strict": f"""
             SELECT q.o_orderkey, q.o_custkey, s.o_orderdate AS matched_ts,

@@ -125,3 +125,34 @@ def test_simhash_near_dups(docs):
 def test_simhash_empty_doc(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": ["e"], "text": ["   "]}))
     assert dedup.simhash(df).first().simhash == 0
+
+
+def test_repetition_stats(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a a a",          # one word repeated
+                "a b c d",          # all distinct
+                "a b a b",          # repeated bigram "a b"
+                "",                  # empty
+            ],
+        }
+    )
+    out = (
+        repetition_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "dup_word_ratio"] == 0.75
+    assert out.loc[0, "top_word_ratio"] == 1.0
+    assert out.loc[0, "dup_bigram_ratio"] == pytest.approx(2.0 / 3.0)
+    assert out.loc[1, "dup_word_ratio"] == 0.0
+    assert out.loc[1, "top_word_ratio"] == 0.25
+    assert out.loc[2, "dup_bigram_ratio"] == pytest.approx(1.0 / 3.0)
+    assert out.loc[3, "n_words"] == 0
+    assert out.loc[3, "dup_word_ratio"] == 0.0

@@ -196,3 +196,39 @@ def fingerprint(
     return d.withColumn(
         out, F.coalesce(F.array_min(F.col("_fsh")), portable_hash(text))
     ).drop("_fsh")
+
+
+def repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: ``dup_word_ratio`` (1 -
+    distinct/total words), ``top_word_ratio`` (most frequent word's share)
+    and ``dup_bigram_ratio`` (1 - distinct/total word bigrams).
+
+    All within-row array expressions over ONE materialized words column —
+    no shuffle, no joins; the per-row cost is O(words * distinct_words),
+    bounded by document length (chunk absurdly long docs upstream).  The
+    filter rule (drop when ratios are high) stays with the caller.
+    """
+    require_cols(df, "repetition_stats", **{text: "string"})
+    d = with_words(df, text, "_rw")
+    w = F.col("_rw")
+    n = F.size(w)
+    distinct_n = F.size(F.array_distinct(w))
+    dup_word = F.when(n > 0, 1.0 - distinct_n / n).otherwise(F.lit(0.0))
+    top_freq = F.expr(
+        "array_max(transform(array_distinct(_rw), "
+        "d -> size(filter(_rw, x -> x = d))))"
+    )
+    top_word = F.when(n > 0, top_freq / n).otherwise(F.lit(0.0))
+    d = d.withColumn("_rb", F.expr(shingles_from_words_sql("_rw", 2)))
+    b = F.col("_rb")
+    nb = F.size(b)
+    dup_bigram = F.when(
+        nb > 0, 1.0 - F.size(F.array_distinct(b)) / nb
+    ).otherwise(F.lit(0.0))
+    return (
+        d.withColumn("n_words", n.cast("long"))
+        .withColumn("dup_word_ratio", dup_word)
+        .withColumn("top_word_ratio", top_word)
+        .withColumn("dup_bigram_ratio", dup_bigram)
+        .drop("_rw", "_rb")
+    )
