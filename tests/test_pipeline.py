@@ -95,3 +95,21 @@ def test_pack_cumsum_matches_prefix_sums(docs):
             out[out["source"] == src].sort_values("doc_id")["bin"].to_numpy()
         )
         assert (got == expect).all()
+
+
+def test_pipeline_plan_shapes(docs):
+    """Scale contracts: split/sampling are shuffle-free per-row
+    expressions; each packing form costs exactly one exchange + sort."""
+    df, _ = docs
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(P.hash_split(df, {"a": 0.5, "b": 0.5}))
+    assert "Exchange" not in p and "Sort" not in p.replace("sort", "")
+    p = plan(P.sample_by_source(df, {"s0": 0.5}))
+    assert "Exchange" not in p
+    p = plan(P.pack_sequences_cumsum(df, 1000, len_col="n_tok"))
+    assert p.count("Exchange") == 1
+    p = plan(P.pack_sequences_greedy(df, 1000, len_col="n_tok"))
+    assert p.count("Exchange") == 1 and "FlatMapGroupsInPandas" in p
