@@ -448,6 +448,34 @@ def q_sample_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+RESAMPLE_RATES = {"src0": 2.5, "src1": 0.25, "src2": 1.0}
+
+
+def q_resample(spark, sf_dir):
+    """Mixture resampling with up-sampling: rate 2.5 emits 2-3 replicas
+    per row (hash-fractional), 0.25 keeps a quarter — deterministic
+    per-row explode, no shuffle."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    out = P.resample_by_source(
+        _docs(spark, sf_dir), RESAMPLE_RATES, default_rate=1.0
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured props extraction (F9): JSON field -> typed column
+    + a windowed aggregate over the extracted value."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("event_type")
+    d = ev.select("event_id", "event_type", k.alias("k"))
+    return d.select(
+        "event_id", "event_type", "k",
+        _r(F.avg("k").over(w)).alias("k_avg_type"),
+    )
+
+
 def q_pack_cumsum(spark, sf_dir):
     """Prefix-sum sequence packing (boundary-straddling bins): one window
     cumsum per source."""
@@ -699,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_sample_mix": q_sample_mix,
         "p_pack_cumsum": q_pack_cumsum,
         "p_pack_greedy": q_pack_greedy,
+        "p_resample": q_resample,
+        "f_json_extract": q_json_extract,
         "d_exact_groups": q_exact_dedup_groups,
         "d_minhash_sig": q_minhash_sig,
         "d_minhash_pairs": q_minhash_pairs,
@@ -885,6 +915,25 @@ def _p_mix_sql() -> str:
         f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in MIX_RATES.items()
     ) + f" ELSE {float(MIX_DEFAULT)!r} END"
     return f"SELECT doc_id, source FROM documents WHERE {u} < {rate}"
+
+
+def _p_resample_sql() -> str:
+    u = _d_unit_hash("doc_id::VARCHAR", "resample")
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {float(r)!r}"
+        for s, r in RESAMPLE_RATES.items()
+    ) + " ELSE 1.0 END"
+    return f"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 (floor({rate}) + CASE WHEN {u} < {rate} - floor({rate})
+                                       THEN 1 ELSE 0 END)::BIGINT AS n
+          FROM documents
+        )
+        SELECT doc_id, source,
+               unnest(generate_series(0, n - 1))::BIGINT AS copy_idx
+        FROM r WHERE n > 0
+    """
 
 
 def _p_pack_cumsum_sql() -> str:
@@ -1557,6 +1606,14 @@ def oracle_sql() -> dict[str, str]:
         "p_sample_mix": _p_mix_sql(),
         "p_pack_cumsum": _p_pack_cumsum_sql(),
         "p_pack_greedy": _p_pack_greedy_sql(),
+        "p_resample": _p_resample_sql(),
+        "f_json_extract": f"""
+            SELECT event_id, event_type,
+                   json_extract(props, '$.k')::INT AS k,
+                   round(avg(json_extract(props, '$.k')::INT)
+                         OVER (PARTITION BY event_type), {_R}) AS k_avg_type
+            FROM events
+        """,
         "d_minhash_pairs": _d_minhash_pairs_sql(16, 16, 200, 0.4),
         "s_ann_topk": _s_ann_sql(5, 4, 7),
         "s_ivf_topk": _s_ivf_sql(5, 16, 2),

@@ -113,3 +113,23 @@ def test_pipeline_plan_shapes(docs):
     assert p.count("Exchange") == 1
     p = plan(P.pack_sequences_greedy(df, 1000, len_col="n_tok"))
     assert p.count("Exchange") == 1 and "FlatMapGroupsInPandas" in p
+
+
+def test_resample_by_source(docs):
+    df, pdf = docs
+    out = P.resample_by_source(
+        df, {"s0": 3.0, "s1": 0.0, "s2": 1.5}, default_rate=1.0
+    ).toPandas()
+    n_per = pdf.groupby("source").size()
+    got = out.groupby("source").size()
+    assert got["s0"] == 3 * n_per["s0"]  # integer rate: exact replication
+    assert "s1" not in got.index
+    assert 1.2 * n_per["s2"] < got["s2"] < 1.8 * n_per["s2"]
+    # replicas are numbered 0..n-1
+    c = out[out["source"] == "s0"].groupby("doc_id")["copy_idx"].agg(["min", "max", "count"])
+    assert (c["min"] == 0).all() and (c["max"] == 2).all() and (c["count"] == 3).all()
+    # deterministic
+    again = P.resample_by_source(
+        df, {"s0": 3.0, "s1": 0.0, "s2": 1.5}, default_rate=1.0
+    ).toPandas()
+    assert len(again) == len(out)

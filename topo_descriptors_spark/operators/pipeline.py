@@ -103,9 +103,8 @@ def sample_by_source(
     """Deterministic mixture sampling: keep a row iff its id hash falls
     under its source's rate — the reproducible form of per-source
     up/down-weighting when assembling a training mixture.  Rates > 1
-    mean "keep all" (upsampling needs row replication — use
-    ``F.explode(F.sequence(...))`` on ceil(rate) and a fractional keep,
-    not this filter)."""
+    mean "keep all" here; for true up-sampling (row replication) use
+    :func:`resample_by_source`."""
     require_cols(df, "sample_by_source",
                  **{id_col: "atomic", source_col: "string"})
     u = unit_hash_col(id_col, salt)
@@ -186,3 +185,41 @@ def pack_sequences_greedy(
         return res
 
     return df.groupBy(partition_col).applyInPandas(pack, schema)
+
+
+def resample_by_source(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 1.0,
+    salt: str = "resample",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Mixture resampling with UP-sampling: a source at rate r emits
+    floor(r) copies of every row plus one more iff the row's id hash
+    falls under frac(r) — so rate 2.5 yields 2 or 3 copies per row
+    (expected 2.5x), rate 0.25 keeps a quarter.  Deterministic (same
+    hash machinery as :func:`sample_by_source`); ``copy_col`` numbers
+    the replicas 0..n-1 so downstream shuffles can decorrelate them.
+    Per-row expression + explode: no shuffle, no RNG state."""
+    require_cols(df, "resample_by_source",
+                 **{id_col: "atomic", source_col: "string"})
+    u = unit_hash_col(id_col, salt)
+    rate = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == F.lit(src)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(
+        float(default_rate)
+    )
+    base = F.floor(rate).cast("long")
+    extra = F.when(u < rate - F.floor(rate), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    n = (base + extra).cast("long")
+    copies = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    # inner explode: n == 0 rows disappear (that's the down-sampling)
+    return df.withColumn(copy_col, F.explode(copies))
