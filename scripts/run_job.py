@@ -76,20 +76,42 @@ def main():
         # token arrays pass through byte-exact (north-rule invariant)
         return part.join(summary, "doc_id", "left").drop("bucket")
 
+    lineage = {
+        "input": "synthetic documents_tok (seed 42)",
+        "docs": args.docs,
+        "scales_pxl": [3, 9, 25],
+        "sigmas": [1.0],
+    }
     metrics = C.run_partitioned(
         spark,
         list(range(args.buckets)),
         unit_fn,
         args.out,
         run_id=args.run_id,
-        lineage={
-            "input": "synthetic documents_tok (seed 42)",
-            "docs": args.docs,
-            "scales_pxl": [3, 9, 25],
-            "sigmas": [1.0],
-        },
+        lineage=lineage,
     )
-    print(metrics)
+
+    # publish the completed run as one atomic table version: a
+    # METADATA-ONLY snapshot commit over the part dirs the units already
+    # wrote (no data movement) — lineage + counter metrics persisted
+    # alongside the snapshot.  Row count comes from the marker table
+    # (covers units completed by previous resumed runs too).
+    from topo_descriptors_spark.sources import snapshots as S
+
+    total_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(args.out, "_markers"))
+        .agg(F.sum("n_rows"))
+        .first()[0]
+    )
+    version = S.commit_dirs(
+        args.out,
+        [f"part={b}" for b in range(args.buckets)],
+        unit_fn(0).schema,  # plan-time schema, no job
+        lineage={**lineage, "run_id": args.run_id, "metrics": metrics},
+        row_count=int(total_rows),
+    )
+    print({**metrics, "snapshot_version": version})
 
 
 if __name__ == "__main__":

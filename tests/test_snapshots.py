@@ -1,0 +1,92 @@
+"""Versioned snapshots: append/overwrite visibility, time travel,
+rollback, observed row counts, schema pinning."""
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.sources import snapshots as S
+
+
+@pytest.fixture()
+def table_dir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d + "/t"
+
+
+def _batch(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2.0).alias("v")
+    )
+
+
+def test_append_overwrite_time_travel(spark, table_dir):
+    v1 = S.write_snapshot(_batch(spark, 10, "a"), table_dir, lineage={"step": 1})
+    v2 = S.write_snapshot(_batch(spark, 5, "b"), table_dir, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert S.read_snapshot(spark, table_dir).count() == 15
+    assert S.read_snapshot(spark, table_dir, version=1).count() == 10
+
+    v3 = S.write_snapshot(_batch(spark, 3, "c"), table_dir, mode="overwrite")
+    cur = S.read_snapshot(spark, table_dir)
+    assert cur.count() == 3
+    assert {r.tag for r in cur.select("tag").distinct().collect()} == {"c"}
+    # overwrite did not destroy history
+    assert S.read_snapshot(spark, table_dir, version=v2).count() == 15
+
+    S.rollback(table_dir, v2)
+    assert S.current_version(table_dir) == v2
+    assert S.read_snapshot(spark, table_dir).count() == 15
+    # a write after rollback branches from v2's state
+    S.write_snapshot(_batch(spark, 1, "d"), table_dir, mode="append")
+    assert S.read_snapshot(spark, table_dir).count() == 16
+    assert S.current_version(table_dir) == v3 + 1
+
+
+def test_manifest_contents(spark, table_dir):
+    S.write_snapshot(_batch(spark, 7, "a"), table_dir, lineage={"job": "j1"})
+    S.write_snapshot(_batch(spark, 4, "b"), table_dir, mode="append")
+    h = S.history(table_dir)
+    assert [m["version"] for m in h] == [1, 2]
+    assert h[0]["rows_written"] == 7 and h[0]["row_count"] == 7
+    assert h[1]["rows_written"] == 4 and h[1]["row_count"] == 11
+    assert h[0]["lineage"] == {"job": "j1"}
+    assert h[1]["parent"] == 1 and h[1]["operation"] == "append"
+    # schema is pinned in the manifest and used on read
+    df = S.read_snapshot(spark, table_dir)
+    assert [f.name for f in df.schema.fields] == ["id", "tag", "v"]
+
+
+def test_rollback_unknown_version_raises(spark, table_dir):
+    S.write_snapshot(_batch(spark, 1, "a"), table_dir)
+    with pytest.raises(FileNotFoundError):
+        S.rollback(table_dir, 99)
+
+
+def test_commit_dirs_metadata_only(spark, table_dir):
+    """The checkpoint-runner integration: publish already-written part
+    dirs as one version without reading or moving data."""
+    import os
+
+    from topo_descriptors_spark.plans import checkpoint as C
+
+    def fn(unit):
+        return spark.range(20).select(
+            F.col("id"), F.lit(unit).alias("unit_name")
+        )
+
+    C.run_partitioned(spark, ["u0", "u1"], fn, table_dir, run_id="r")
+    v = S.commit_dirs(
+        table_dir,
+        ["part=u0", "part=u1"],
+        fn("u0").schema,
+        lineage={"run": "r"},
+        row_count=40,
+    )
+    df = S.read_snapshot(spark, table_dir)
+    assert df.count() == 40
+    assert S.read_manifest(table_dir, v)["operation"] == "commit_dirs"
+    with pytest.raises(FileNotFoundError):
+        S.commit_dirs(table_dir, ["part=missing"], fn("u0").schema)

@@ -1,0 +1,197 @@
+"""Versioned table snapshots over parquet — the engine's minimal,
+honest stand-in for an Iceberg catalog (none exists in this sandbox).
+
+What it reproduces from the table-format playbook:
+
+* **Immutable data, append-only manifests.**  Every write lands in a
+  fresh ``data/b<version>`` directory; a snapshot manifest (JSON) lists
+  the EXACT data directories visible at that version plus schema,
+  lineage, operation, and observed row counts.  Data files are never
+  rewritten or deleted by a new version.
+* **Atomic visibility.**  Readers resolve the current version through a
+  single ``CURRENT`` pointer file updated by atomic rename — a write is
+  either fully visible or not at all (the file-system analog of an
+  Iceberg catalog swap; single-writer assumed, which the checkpoint
+  runner's marker protocol already guarantees per table).
+* **Time travel + rollback.**  ``read_snapshot(..., version=k)`` reads
+  any historical version; ``rollback`` re-points CURRENT without
+  touching data.
+
+On a real cluster this module is replaced by ``df.writeTo(table)`` on an
+Iceberg catalog — the call sites (checkpoint runner, run_job) only use
+the narrow write/read/history interface, so the swap is mechanical.
+north rule: "resumable from per-partition checkpoints with lineage and
+counter metrics persisted alongside Iceberg snapshots".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshots")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_snap_dir(table_dir), f"v{version:05d}.json")
+
+
+def current_version(table_dir: str) -> int | None:
+    """Version the CURRENT pointer resolves to (None for an empty table)."""
+    path = os.path.join(_snap_dir(table_dir), "CURRENT")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _set_current(table_dir: str, version: int) -> None:
+    """Atomic pointer swap: write-then-rename, the commit point."""
+    cur = os.path.join(_snap_dir(table_dir), "CURRENT")
+    tmp = cur + f".tmp.{version}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, cur)
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    lineage: dict | None = None,
+) -> int:
+    """Write ``df`` as a new table version; returns the version number.
+
+    ``mode="append"`` makes the new version see the parent's data dirs
+    plus the new one; ``"overwrite"`` sees only the new one (old data
+    stays on disk for time travel).  Row count is captured with
+    ``df.observe`` during the write — no re-read."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    parent = current_version(table_dir)
+    # version numbers always advance past every EXISTING manifest, not
+    # just past CURRENT — after a rollback, new writes branch from the
+    # rolled-back state but never reuse a version (or its data dir)
+    existing = [
+        int(name[1:6])
+        for name in os.listdir(_snap_dir(table_dir))
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    version = (max(existing) + 1) if existing else 1
+
+    rel_dir = os.path.join("data", f"b{version:05d}")
+    obs = Observation(f"snap_{os.path.basename(table_dir)}_{version}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("errorifexists").parquet(os.path.join(table_dir, rel_dir))
+    n_rows = int(obs.get["n"])
+
+    dirs = [rel_dir]
+    total = n_rows
+    if mode == "append" and parent is not None:
+        pm = read_manifest(table_dir, parent)
+        dirs = pm["data_dirs"] + dirs
+        total = pm["row_count"] + n_rows
+
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": mode,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "data_dirs": dirs,
+        "rows_written": n_rows,
+        "row_count": total,
+        "schema": df.schema.jsonValue(),
+        "lineage": lineage or {},
+    }
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    _set_current(table_dir, version)  # commit point
+    return version
+
+
+def commit_dirs(
+    table_dir: str,
+    data_dirs: list[str],
+    schema: StructType,
+    lineage: dict | None = None,
+    row_count: int | None = None,
+) -> int:
+    """METADATA-ONLY commit: publish a new version whose data is a set of
+    already-written parquet directories (paths relative to
+    ``table_dir``).  No data is read, moved or rewritten — this is the
+    Iceberg-style cheap commit the checkpoint runner uses to publish a
+    completed partitioned run as one atomic table version."""
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    for d in data_dirs:
+        if not os.path.isdir(os.path.join(table_dir, d)):
+            raise FileNotFoundError(f"data dir {d!r} not found under {table_dir}")
+    parent = current_version(table_dir)
+    existing = [
+        int(name[1:6])
+        for name in os.listdir(_snap_dir(table_dir))
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    version = (max(existing) + 1) if existing else 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": "commit_dirs",
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "data_dirs": list(data_dirs),
+        "rows_written": row_count,
+        "row_count": row_count,
+        "schema": schema.jsonValue(),
+        "lineage": lineage or {},
+    }
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    _set_current(table_dir, version)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a version (default: CURRENT) — time travel."""
+    m = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, d) for d in m["data_dirs"]]
+    return spark.read.schema(
+        StructType.fromJson(m["schema"])
+    ).parquet(*paths)
+
+
+def history(table_dir: str) -> list[dict]:
+    """All snapshot manifests, oldest first."""
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Re-point CURRENT at an existing version (data untouched)."""
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(f"no snapshot v{version} in {table_dir}")
+    _set_current(table_dir, version)
