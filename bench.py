@@ -90,6 +90,28 @@ def flagship_tokens(spark, n_docs: int):
     return joined
 
 
+def flagship_packed(spark, n_docs: int):
+    """The same north-star pipeline on the packed (zero-shuffle) path:
+    features + PIT gather computed straight from the tokens arrays in
+    one mapInPandas pass (operators/packed.py — parity with the exploded
+    form pinned in tests/test_packed.py).  This is the physical plan
+    that wins when sequences are stored packed: nothing is exploded,
+    shuffled, sorted, or joined."""
+    from pyspark.sql import functions as F
+
+    from topo_descriptors_spark.operators import packed as PK
+    from topo_descriptors_spark.sources import synthetic
+
+    tok = synthetic.documents_tok(spark, n_docs=n_docs).withColumn(
+        "doc_key", F.xxhash64("doc_id")
+    )
+    q = PK.deterministic_query_positions(tok, 8)
+    return PK.packed_features_at(
+        q, [3, 9, 25], sigmas=[1.0], sx_radius_steps=5,
+        sx_height=0.0, sx_step_meters=1.0, keep_cols=("doc_key",),
+    )
+
+
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
@@ -132,9 +154,11 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
     spark = get_spark("bench", master=f"local[{cores}]",
                       shuffle_partitions=max(4 * n_cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: identical plan at toy size compiles the codegen classes so
-    # the timed runs measure steady-state throughput, not JIT
+    # warm-up: identical plans at toy size compile the codegen classes
+    # and spin up the Python/Arrow workers, so the timed runs measure
+    # steady-state throughput, not JIT or worker startup
     _materialize(flagship_tokens(spark, 500))
+    _materialize(flagship_packed(spark, 500))
 
     times = []
     for _ in range(max(repeats, 1)):
@@ -144,8 +168,20 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
     times.sort()
     flagship_sec = times[len(times) // 2]  # median
 
+    packed_times = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.monotonic()
+        _materialize(flagship_packed(spark, n_docs))
+        packed_times.append(time.monotonic() - t0)
+    packed_times.sort()
+    packed_sec = packed_times[len(packed_times) // 2]
+
     per_query = bench_queries(spark, sf_dir) if queries else {}
-    per_query = {"flagship_tokens": round(flagship_sec, 3), **per_query}
+    per_query = {
+        "flagship_tokens": round(flagship_sec, 3),
+        "flagship_packed": round(packed_sec, 3),
+        **per_query,
+    }
     total = round(sum(per_query.values()), 3)
     return {
         "metric": "asof-join + multiscale window-feature suite wall-clock",
@@ -155,6 +191,7 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
         "sf": _sf_of(sf_dir),
         "flagship_docs": n_docs,
         "sequences_per_sec": round(n_docs / flagship_sec, 1),
+        "sequences_per_sec_packed": round(n_docs / packed_sec, 1),
         "cores": cores,
     }
 
