@@ -258,7 +258,10 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
     # protocol folds that drift straight into the efficiency ratio;
     # alternating configs exposes both to the same drift, and the
     # per-config median then cancels it.
-    times: dict[str, list[float]] = {SCALING_N: [], SCALING_4N: []}
+    times: dict[str, dict[str, list[float]]] = {
+        c: {"flagship_tokens": [], "flagship_packed": []}
+        for c in (SCALING_N, SCALING_4N)
+    }
     results = {}
     for _round in range(3):
         for cores in (SCALING_N, SCALING_4N):
@@ -271,20 +274,32 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
             line = [l for l in proc.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             r = json.loads(line)
-            times[cores].append(r["queries"]["flagship_tokens"])
+            for q in times[cores]:
+                times[cores][q].append(r["queries"][q])
             results[cores] = r
     for cores in (SCALING_N, SCALING_4N):
-        med = sorted(times[cores])[len(times[cores]) // 2]
-        results[cores]["queries"]["flagship_tokens"] = med
-        results[cores]["sequences_per_sec"] = round(n_docs / med, 1)
+        for q, runs in times[cores].items():
+            med = sorted(runs)[len(runs) // 2]
+            results[cores]["queries"][q] = med
+        results[cores]["sequences_per_sec"] = round(
+            n_docs / results[cores]["queries"]["flagship_tokens"], 1
+        )
+        results[cores]["sequences_per_sec_packed"] = round(
+            n_docs / results[cores]["queries"]["flagship_packed"], 1
+        )
         results[cores]["all_runs_sec"] = times[cores]
     thr_n = results[SCALING_N]["sequences_per_sec"]
     thr_4n = results[SCALING_4N]["sequences_per_sec"]
     eff = round((thr_4n / thr_n) / 4.0, 3)
+    eff_packed = round(
+        (results[SCALING_4N]["sequences_per_sec_packed"]
+         / results[SCALING_N]["sequences_per_sec_packed"]) / 4.0, 3
+    )
     report = {
         "metric": f"scaling efficiency local[{SCALING_N}]->local[{SCALING_4N}] (N->4N proxy)",
         "throughput_seq_per_sec": {f"local{SCALING_N}": thr_n, f"local{SCALING_4N}": thr_4n},
         "efficiency": eff,
+        "efficiency_packed": eff_packed,
         "flagship_docs": n_docs,
     }
     _write_baseline_md(report, results)
@@ -315,12 +330,17 @@ def _write_baseline_md(report: dict, results: dict) -> None:
             f"features + directional max -> as-of join) at local[{n}] vs\n"
             f"local[{n4}] in fresh JVMs, same input, same plan; median of 3\n"
             "steady-state runs per config (warm-up excluded).\n\n"
-            f"| config | sequences/sec | flagship sec (median) |\n|---|---|---|\n"
+            f"| config | seq/sec (exploded) | seq/sec (packed) | flagship sec (median) |\n"
+            f"|---|---|---|---|\n"
             f"| local[{n}] | {results[n]['sequences_per_sec']} | "
+            f"{results[n]['sequences_per_sec_packed']} | "
             f"{results[n]['queries']['flagship_tokens']} |\n"
             f"| local[{n4}] | {results[n4]['sequences_per_sec']} | "
+            f"{results[n4]['sequences_per_sec_packed']} | "
             f"{results[n4]['queries']['flagship_tokens']} |\n\n"
-            f"**efficiency = (thr_{n4} / thr_{n}) / 4 = {report['efficiency']}**\n\n"
+            f"**efficiency = (thr_{n4} / thr_{n}) / 4 = {report['efficiency']}"
+            f" (exploded window+as-of plan); {report['efficiency_packed']}"
+            f" (zero-shuffle packed plan)**\n\n"
             f"flagship corpus: {report['flagship_docs']} synthetic docs of\n"
             "BASELINE.json:input_hint shape (deterministic, seed-fixed).\n\n"
             + (tail or "")
