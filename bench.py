@@ -329,7 +329,9 @@ def _write_baseline_md(report: dict, results: dict) -> None:
             f"flagship job (explode pre-tokenized docs -> multiscale window\n"
             f"features + directional max -> as-of join) at local[{n}] vs\n"
             f"local[{n4}] in fresh JVMs, same input, same plan; median of 3\n"
-            "steady-state runs per config (warm-up excluded).\n\n"
+            "steady-state runs per config (warm-up excluded), configs\n"
+            f"INTERLEAVED ({n}, {n4}, {n}, {n4}, ...) so minute-scale box\n"
+            "drift hits both sides equally instead of biasing the ratio.\n\n"
             f"| config | seq/sec (exploded) | seq/sec (packed) | flagship sec (median) |\n"
             f"|---|---|---|---|\n"
             f"| local[{n}] | {results[n]['sequences_per_sec']} | "
