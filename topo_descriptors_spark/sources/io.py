@@ -45,7 +45,22 @@ def write_table(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> None:
+    """Table sink.  ``cluster_by`` range-partitions the data on those
+    columns and sorts within each output file, so each file covers a
+    narrow, non-overlapping key range — parquet min/max footer stats
+    then let later range/equality scans SKIP whole files (the poor
+    man's clustering an Iceberg sort-order would give).  ``n_files``
+    bounds the file count for the clustered layout."""
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        if n_files:
+            df = df.repartitionByRange(int(n_files), *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
     w = df.write.format(fmt).mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
