@@ -106,3 +106,80 @@ def test_packed_short_and_single_token_docs(spark):
     assert out.loc[0, "smooth_1p0"] == pytest.approx(5.0)  # renormalized
     # 3-token doc at pos 2: backward sx over 2 lags exists
     assert not np.isnan(out.loc[2, "sx"])
+
+
+def test_packed_vs_naive_per_doc_oracle(spark):
+    """Randomized ragged shapes (seeded) vs an independent naive per-doc
+    oracle with explicit loops — catches any cross-doc leakage in the
+    batch-concatenation arithmetic."""
+    import pandas as pd
+
+    from topo_descriptors_spark.functions.planner import (
+        frame_half_width,
+        gaussian_weights,
+    )
+
+    rng = np.random.RandomState(23)
+    lens = np.concatenate([[1, 2, 3, 4, 5], rng.randint(1, 40, size=40)])
+    docs, qs = [], []
+    for n in lens:
+        docs.append(rng.randint(0, 1000, size=n).astype(np.int32))
+        qpool = np.unique(np.concatenate([[0, n - 1],
+                                          rng.randint(0, n, size=3)]))
+        qs.append(qpool.astype(np.int64))
+    pdf = pd.DataFrame(
+        {
+            "doc_key": np.arange(len(lens), dtype=np.int64),
+            "tokens": docs,
+            "q_positions": qs,
+        }
+    )
+    got = (
+        PK.packed_features_at(
+            spark.createDataFrame(pdf), [3, 9], sigmas=[1.0],
+            sx_radius_steps=3, sx_height=0.5, sx_step_meters=2.0,
+        )
+        .toPandas()
+        .sort_values(["doc_key", "pos"])
+        .reset_index(drop=True)
+    )
+
+    w1 = gaussian_weights(1.0)
+    r1 = len(w1) // 2
+
+    def naive(v, i):
+        out = {}
+        n = len(v)
+        for d in (3, 9):
+            k = frame_half_width(d)
+            fr = v[max(0, i - k): i + k + 1]
+            if len(fr) > 1:
+                out[f"tpi_{d}"] = v[i] - (fr.sum() - v[i]) / (len(fr) - 1)
+                out[f"std_{d}"] = float(np.std(fr, ddof=1))
+            else:
+                out[f"tpi_{d}"] = np.nan
+                out[f"std_{d}"] = np.nan
+        num = den = 0.0
+        for j, wt in enumerate(w1):
+            p = i + j - r1
+            if 0 <= p < n:
+                num += v[p] * wt
+                den += wt
+        out["smooth_1p0"] = num / den
+        best = np.nan
+        for k in range(1, 4):
+            if i - k >= 0:
+                ang = np.degrees(np.arctan((v[i - k] - v[i] - 0.5) / (k * 2.0)))
+                best = ang if np.isnan(best) else max(best, ang)
+        out["sx"] = best
+        return out
+
+    # the same (doc, pos) may appear once per query draw; iterate rows
+    for row in got.itertuples():
+        v = docs[int(row.doc_key)].astype(np.float64)
+        exp = naive(v, int(row.pos))
+        for c, e in exp.items():
+            g = getattr(row, c)
+            assert (np.isnan(e) and np.isnan(g)) or abs(g - e) < 1e-9, (
+                row.doc_key, row.pos, c, g, e,
+            )
