@@ -448,6 +448,46 @@ def q_sample_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+PACKED_VOCAB = 997
+PACKED_NQ = 4
+
+
+def q_packed_features(spark, sf_dir):
+    """The zero-shuffle packed engine through the gate: tokens derived
+    deterministically from the text (portable word hashes mod 997),
+    query positions from the portable doc hash — the DuckDB oracle
+    replays tokenization, every feature (tpi/std/gaussian/sx) as window
+    expressions over the exploded sequence, and the PIT gather."""
+    from topo_descriptors_spark.operators import packed as PK
+    from topo_descriptors_spark.operators.text import (
+        PORTABLE_HASH_SQL,
+        words_sql,
+    )
+
+    h_tok = PORTABLE_HASH_SQL.format(col="w")
+    d = _docs(spark, sf_dir).withColumn(
+        "tokens", F.expr(f"transform({words_sql('text')}, w -> {h_tok} % {PACKED_VOCAB})")
+    )
+    key = "concat(cast(doc_id as string), '#', cast(i as string))"
+    h_q = PORTABLE_HASH_SQL.format(col=key)
+    d = d.where(F.size("tokens") > 0).withColumn(
+        "q_positions",
+        F.expr(
+            f"transform(sequence(0, {PACKED_NQ - 1}), i -> {h_q} % size(tokens))"
+        ),
+    )
+    out = PK.packed_features_at(
+        d, [3, 9], sigmas=[1.0], sx_radius_steps=3,
+        sx_height=0.0, sx_step_meters=1.0, keep_cols=("doc_id",),
+    )
+    return out.select(
+        "doc_id", "pos", _r("value").alias("value"),
+        _r("tpi_3").alias("tpi_3"), _r("std_3").alias("std_3"),
+        _r("tpi_9").alias("tpi_9"), _r("std_9").alias("std_9"),
+        _r("smooth_1p0").alias("smooth"), _r("sx").alias("sx"),
+    )
+
+
 RESAMPLE_RATES = {"src0": 2.5, "src1": 0.25, "src2": 1.0}
 
 
@@ -729,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_pack_greedy": q_pack_greedy,
         "p_resample": q_resample,
         "f_json_extract": q_json_extract,
+        "w_packed_features": q_packed_features,
         "d_exact_groups": q_exact_dedup_groups,
         "d_minhash_sig": q_minhash_sig,
         "d_minhash_pairs": q_minhash_pairs,
@@ -915,6 +956,69 @@ def _p_mix_sql() -> str:
         f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in MIX_RATES.items()
     ) + f" ELSE {float(MIX_DEFAULT)!r} END"
     return f"SELECT doc_id, source FROM documents WHERE {u} < {rate}"
+
+
+def _w_packed_sql() -> str:
+    """Replays q_packed_features: portable-hash tokenization, the full
+    feature set as window expressions over the exploded sequence
+    (tpi/std bounded frames, edge-renormalized Gaussian lag bank,
+    one-sided Sx greatest), and the hash-positioned PIT gather."""
+    h_tok = _DH.format(s="w") + f" % {PACKED_VOCAB}"
+
+    def tpi_std(k, d):
+        return (
+            f"round(v - (sum(v) OVER w{k} - v) / (count(v) OVER w{k} - 1), {_R}) AS tpi_{d},\n"
+            f"round(stddev_samp(v) OVER w{k}, {_R}) AS std_{d}"
+        )
+
+    wts = gaussian_weights(1.0)
+    r = len(wts) // 2
+    num, den = [], []
+    for i, wt in enumerate(wts):
+        off = i - r
+        t = "v" if off == 0 else (
+            f"lag(v, {off}) OVER wg" if off > 0 else f"lead(v, {-off}) OVER wg"
+        )
+        num.append(f"coalesce({t} * {wt!r}, 0.0)")
+        den.append(f"CASE WHEN {t} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
+    smooth = f"round(({' + '.join(num)}) / ({' + '.join(den)}), {_R})"
+    sx_terms = ", ".join(
+        f"degrees(atan((lag(v, {k}) OVER wg - v - 0.0) / {float(k)!r}))"
+        for k in range(1, 4)
+    )
+    h_q = _DH.format(s="(doc_id::VARCHAR || '#' || i::VARCHAR)")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, list_transform({_DW}, w -> {h_tok}) AS tok
+          FROM documents
+        ),
+        seq AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, len(tok) - 1))::BIGINT AS pos,
+                 unnest(tok)::DOUBLE AS v
+          FROM t WHERE len(tok) > 0
+        ),
+        feats AS (
+          SELECT doc_id, pos, round(v, {_R}) AS value,
+                 {tpi_std(1, 3)},
+                 {tpi_std(4, 9)},
+                 {smooth} AS smooth,
+                 round(greatest({sx_terms}), {_R}) AS sx
+          FROM seq
+          WINDOW
+            w1 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+            w4 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING),
+            wg AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        q AS (
+          SELECT doc_id, ({h_q}) % len(tok) AS pos
+          FROM t, unnest(generate_series(0, {PACKED_NQ - 1})) AS u(i)
+          WHERE len(tok) > 0
+        )
+        SELECT f.doc_id, f.pos, f.value, f.tpi_3, f.std_3, f.tpi_9, f.std_9,
+               f.smooth, f.sx
+        FROM q JOIN feats f ON q.doc_id = f.doc_id AND q.pos = f.pos
+    """
 
 
 def _p_resample_sql() -> str:
@@ -1607,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "p_pack_cumsum": _p_pack_cumsum_sql(),
         "p_pack_greedy": _p_pack_greedy_sql(),
         "p_resample": _p_resample_sql(),
+        "w_packed_features": _w_packed_sql(),
         "f_json_extract": f"""
             SELECT event_id, event_type,
                    json_extract(props, '$.k')::INT AS k,
