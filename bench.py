@@ -357,7 +357,9 @@ def main():
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--grid", action="store_true")
-    ap.add_argument("--repeats", type=int, default=1)
+    # flagship numbers are medians of 3 by default: single runs on this
+    # shared VM swing 2-3x from box drift alone (measured)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     if args.scaling:
