@@ -553,15 +553,24 @@ GRID_N = 96
 
 
 def _grid_from_events(spark, sf_dir):
+    """DENSE GRID_N x GRID_N grid: cell value = avg(value) of the events
+    hashing to it, 0.0 where no event lands (small SFs leave gaps, and
+    the reflect-padded kernels are only defined on a dense domain —
+    the full-lattice left join makes density a construction invariant,
+    identical in the SQL oracle)."""
     ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.pmod(F.col("event_id"), F.lit(GRID_N)).cast("int").alias("y"),
+        F.pmod(F.floor(F.col("event_id") / GRID_N), F.lit(GRID_N))
+        .cast("int")
+        .alias("x"),
+    ).agg(F.avg("value").alias("value"))
+    ys = spark.range(GRID_N).select(F.col("id").cast("int").alias("y"))
+    xs = spark.range(GRID_N).select(F.col("id").cast("int").alias("x"))
     return (
-        ev.groupBy(
-            F.pmod(F.col("event_id"), F.lit(GRID_N)).cast("int").alias("y"),
-            F.pmod(F.floor(F.col("event_id") / GRID_N), F.lit(GRID_N))
-            .cast("int")
-            .alias("x"),
-        )
-        .agg(F.avg("value").alias("value"))
+        ys.crossJoin(xs)
+        .join(agg, ["y", "x"], "left")
+        .select("y", "x", F.coalesce("value", F.lit(0.0)).alias("value"))
     )
 
 
@@ -1253,10 +1262,18 @@ def _s_ivf_sql(k: int = 5, n_clusters: int = 16, n_probe: int = 2) -> str:
 
 
 _D_GRID = f"""
-    SELECT (event_id % {GRID_N})::INT AS y,
-           ((event_id // {GRID_N}) % {GRID_N})::INT AS x,
-           avg(value) AS value
-    FROM events GROUP BY 1, 2
+    SELECT l.y, l.x, coalesce(a.value, 0.0) AS value
+    FROM (
+      SELECT yy.y, xx.x
+      FROM (SELECT unnest(generate_series(0, {GRID_N - 1}))::INT AS y) yy
+      CROSS JOIN (SELECT unnest(generate_series(0, {GRID_N - 1}))::INT AS x) xx
+    ) l
+    LEFT JOIN (
+      SELECT (event_id % {GRID_N})::INT AS y,
+             ((event_id // {GRID_N}) % {GRID_N})::INT AS x,
+             avg(value) AS value
+      FROM events GROUP BY 1, 2
+    ) a ON l.y = a.y AND l.x = a.x
 """
 
 
