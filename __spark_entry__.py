@@ -222,6 +222,43 @@ def q_asof_tolerance(spark, sf_dir):
     )
 
 
+FUSED_NQ = 3
+
+
+def q_asof_fused(spark, sf_dir):
+    """The fused single-shuffle asof+frame-features operator through the
+    gate: TPI/std frames AND the PIT match in one window pass over the
+    interleaved union (asof.py:asof_with_frame_features).  Positions are
+    row_number per user (ties pinned by event_id); query positions come
+    from the portable hash so the oracle can replay them."""
+    from topo_descriptors_spark.operators.asof import asof_with_frame_features
+    from topo_descriptors_spark.operators.text import PORTABLE_HASH_SQL
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+        "value",
+    )
+    key = "concat(cast(user_id as string), '#', cast(i as string))"
+    h = PORTABLE_HASH_SQL.format(col=key)
+    q = seq.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).select(
+        "user_id",
+        F.explode(
+            F.expr(f"transform(sequence(0, {FUSED_NQ - 1}), i -> {h} % n)")
+        ).alias("q_pos"),
+    )
+    out = asof_with_frame_features(
+        seq, q, on="user_id", pos="pos", q_pos="q_pos", value="value",
+        scales_pxl=[9],
+    )
+    return out.select(
+        "user_id", "q_pos", "matched_ts",
+        _r("tpi_9").alias("tpi_9"), _r("std_9").alias("std_9"),
+    )
+
+
 def q_asof_orders_strict(spark, sf_dir):
     """Each order sees the customer's previous (strictly earlier) order's
     total price; same-day orders pre-aggregated to max for determinism."""
@@ -417,6 +454,24 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (8-bit chunk banding + hamming<=6): the
+    banding, bucket cap and popcount all replay exactly in SQL."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def q_near_dup_lsh(spark, sf_dir):
+    """The LSH-bucketed (production) near-dup path through the gate —
+    round-before-threshold so the boundary is cross-engine stable."""
+    out = similarity.embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.3,
+        n_planes=4, dim=EMB_DIM, round_digits=_R,
+    )
+    return out.select("id_a", "id_b", "cosine")
 
 
 # ---------------------------------------------------------------------------
@@ -784,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": q_minhash_pairs,
         "d_ngram_jaccard": q_ngram_jaccard,
         "d_simhash": q_simhash,
+        "d_simhash_pairs": q_simhash_pairs,
+        "s_near_dup_lsh": q_near_dup_lsh,
+        "j_asof_fused": q_asof_fused,
         "g_tpi_2d": q_tpi_2d,
         "g_sx_2d": q_sx_2d,
         "g_valley_2d": q_valley_2d,
@@ -965,6 +1023,89 @@ def _p_mix_sql() -> str:
         f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in MIX_RATES.items()
     ) + f" ELSE {float(MIX_DEFAULT)!r} END"
     return f"SELECT doc_id, source FROM documents WHERE {u} < {rate}"
+
+
+def _d_simhash_pairs_sql(max_hamming: int = 6, max_bucket: int = 500) -> str:
+    """Replays dedup.simhash_pairs: 8-bit chunk banding over the simhash,
+    bucket cap, distinct pairs, popcount hamming filter."""
+    chunks = ", ".join(f"(simhash // {1 << (8 * c)}) % 256" for c in range(4))
+    return f"""
+        WITH s AS ({_d_simhash_sql()}),
+        banded AS (
+          SELECT doc_id, simhash,
+                 unnest(generate_series(0, 3)) AS chunk_id,
+                 unnest([{chunks}]) AS chunk
+          FROM s
+        ),
+        counts AS (SELECT chunk_id, chunk, count(*) AS n FROM banded GROUP BY 1, 2),
+        small AS (
+          SELECT b.doc_id, b.simhash, b.chunk_id, b.chunk FROM banded b
+          JOIN counts c ON b.chunk_id = c.chunk_id AND b.chunk = c.chunk
+          WHERE c.n <= {max_bucket}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM small a JOIN small b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _s_near_dup_lsh_sql(threshold: float = 0.3, n_planes: int = 4,
+                        seed: int = 7) -> str:
+    """Replays similarity.embedding_near_dup_pairs: raw-vector sign
+    buckets (hyperplane literals), dot/(norm*norm) cosine rounded before
+    the threshold."""
+    planes = similarity.hyperplanes(EMB_DIM, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+        WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                      ({bucket}) AS bucket FROM n)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), {_R}) AS cosine
+          FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {float(threshold)!r}
+    """
+
+
+def _j_asof_fused_sql() -> str:
+    """Replays q_asof_fused: row_number positions (ties pinned by
+    event_id), ROWS-frame TPI/std (equivalent to the fused RANGE frame
+    on dense positions), hash query positions, PIT gather."""
+    h = _DH.format(s="(user_id::VARCHAR || '#' || i::VARCHAR)")
+    return f"""
+        WITH s AS (
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+                 value
+          FROM events
+        ),
+        f AS (
+          SELECT user_id, pos,
+            round(value - (sum(value) OVER w - value) / (count(value) OVER w - 1), {_R}) AS tpi_9,
+            round(stddev_samp(value) OVER w, {_R}) AS std_9
+          FROM s
+          WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                       ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)
+        ),
+        nper AS (SELECT user_id, count(*) AS n FROM s GROUP BY 1),
+        q AS (
+          SELECT user_id, ({h}) % n AS q_pos
+          FROM nper, unnest(generate_series(0, {FUSED_NQ - 1})) AS u(i)
+        )
+        SELECT q.user_id, q.q_pos, f.pos::BIGINT AS matched_ts, f.tpi_9, f.std_9
+        FROM q JOIN f ON q.user_id = f.user_id AND q.q_pos = f.pos
+    """
 
 
 def _w_packed_sql() -> str:
@@ -1764,6 +1905,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.12
         """,
         "d_simhash": _d_simhash_sql(),
+        "d_simhash_pairs": _d_simhash_pairs_sql(6, 500),
+        "s_near_dup_lsh": _s_near_dup_lsh_sql(0.3, 4, 7),
+        "j_asof_fused": _j_asof_fused_sql(),
         "s_near_dup": f"""
             WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)

@@ -358,11 +358,15 @@ def embedding_near_dup_pairs(
     vec: str = "embedding",
     n_planes: int = 8,
     dim: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), LSH-bucketed.  High thresholds pair with few planes:
     near-identical vectors almost always share the full sign pattern.
-    Pass ``dim`` to keep plan construction job-free."""
+    Pass ``dim`` to keep plan construction job-free; ``round_digits``
+    applies the threshold to the ROUNDED cosine so engine-order float
+    noise at the boundary cannot flip pair membership (cross-engine
+    reproducibility)."""
     require_cols(df, "embedding_near_dup_pairs",
                  **{id_col: "atomic", vec: "array_numeric"})
     if dim is None:
@@ -380,7 +384,9 @@ def embedding_near_dup_pairs(
         F.col("_norm").alias("nb"), F.col("_bucket").alias("bb"),
     )
     pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-    cos = (dot_col("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine")
-    return pairs.select("id_a", "id_b", cos).where(
+    cos = dot_col("va", "vb") / (F.col("na") * F.col("nb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= F.lit(float(threshold))
     )
