@@ -751,6 +751,22 @@ def q_near_dup(spark, sf_dir):
     )
 
 
+RP_DIM = 8
+
+
+def q_rand_proj(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (deterministic seeded
+    matrix): the embedding-toolkit pre-reduction, per-row JVM folds."""
+    out = similarity.random_projection(
+        read_table(spark, sf_dir, "embeddings"), out_dim=RP_DIM,
+        dim=EMB_DIM, seed=11,
+    )
+    return out.select(
+        "vec_id",
+        *[_r(F.col("proj")[i]).alias(f"p_{i}") for i in range(RP_DIM)],
+    )
+
+
 def q_rank_ops(spark, sf_dir):
     """Ranking/analytic functions (row_number, rank, dense_rank, ntile) —
     the tie-break machinery the as-of join depends on."""
@@ -852,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_topk": q_ann_topk,
         "s_ivf_topk": q_ivf_topk,
         "s_near_dup": q_near_dup,
+        "s_rand_proj": q_rand_proj,
         "a_rank_ops": q_rank_ops,
     }
 
@@ -1075,6 +1092,23 @@ def _s_near_dup_lsh_sql(threshold: float = 0.3, n_planes: int = 4,
                  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), {_R}) AS cosine
           FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         ) WHERE cosine >= {float(threshold)!r}
+    """
+
+
+def _s_rand_proj_sql(out_dim: int = 8, seed: int = 11) -> str:
+    """Replays similarity.random_projection with the same seeded matrix
+    inlined as list literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    R = rng.standard_normal((out_dim, EMB_DIM)) / np.sqrt(out_dim)
+    cols = ", ".join(
+        f"round(list_dot_product(v, [{', '.join(repr(float(x)) for x in row)}]), {_R}) AS p_{j}"
+        for j, row in enumerate(R)
+    )
+    return f"""
+        SELECT vec_id, {cols}
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     """
 
 
@@ -1880,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "d_minhash_pairs": _d_minhash_pairs_sql(16, 16, 200, 0.4),
         "s_ann_topk": _s_ann_sql(5, 4, 7),
         "s_ivf_topk": _s_ivf_sql(5, 16, 2),
+        "s_rand_proj": _s_rand_proj_sql(RP_DIM, 11),
         "d_ngram_jaccard": f"""
             WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
             s0 AS (SELECT doc_id, {_D_SHINGLES} AS shl FROM w),

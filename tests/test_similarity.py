@@ -144,3 +144,24 @@ def test_ann_planning_launches_no_job(emb):
     S.ann_topk_lsh(guarded, k=3, n_planes=4, dim=16)
     S.ann_topk_blocked(guarded, k=3, n_planes=4, dim=16)
     S.embedding_near_dup_pairs(guarded, threshold=0.99, dim=16)
+
+
+def test_random_projection_preserves_distances(emb):
+    """JL property: pairwise distances in the projected space track the
+    originals (sampled pairs, generous tolerance), and the projection is
+    deterministic + shuffle-free."""
+    df, vecs = emb
+    out = S.random_projection(df, out_dim=8, dim=16, seed=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    pdf = out.select("vec_id", "proj").toPandas().set_index("vec_id")
+    proj = np.stack(pdf.loc[np.arange(len(vecs)), "proj"].to_numpy())
+    rng = np.random.RandomState(0)
+    pairs = rng.randint(0, len(vecs), size=(60, 2))
+    d0 = np.linalg.norm(vecs[pairs[:, 0]] - vecs[pairs[:, 1]], axis=1)
+    d1 = np.linalg.norm(proj[pairs[:, 0]] - proj[pairs[:, 1]], axis=1)
+    ok = (d0 > 0)
+    ratio = d1[ok] / d0[ok]
+    # 16 -> 8 dims: distortion concentrated around 1 (JL), no blow-ups
+    assert 0.3 < ratio.min() and ratio.max() < 1.9
+    assert abs(np.median(ratio) - 1.0) < 0.25

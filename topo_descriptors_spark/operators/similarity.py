@@ -390,3 +390,32 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= F.lit(float(threshold))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec: str = "embedding",
+    seed: int = 11,
+    dim: int | None = None,
+    out: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: a deterministic seeded
+    Gaussian matrix (scaled 1/sqrt(out_dim)) maps embeddings to
+    ``out_dim`` dims with pairwise distances approximately preserved —
+    the standard pre-reduction before ANN indexing / clustering at
+    corpus scale.  Pure per-row JVM expressions (one array fold per
+    output dim): no shuffle, no Python, and the matrix literals make the
+    result exactly reproducible in SQL."""
+    require_cols(df, "random_projection", **{vec: "array_numeric"})
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
+    rng = np.random.RandomState(seed)
+    R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    comps = [
+        F.expr(DOT_SQL.format(
+            a=vec, b=f"array({', '.join(repr(float(x)) for x in row)})"
+        ))
+        for row in R
+    ]
+    return df.withColumn(out, F.array(*comps))
