@@ -3,8 +3,12 @@ reference's multiscale descriptors (SURVEY.md §2.5).
 
 Every operator here is a pure Spark SQL window expression over
 ``Window.partitionBy(entity).orderBy(order)`` — JVM-side, whole-stage
-codegen, zero Python in the hot path.  The 2-D grid forms of the same
-descriptors live in :mod:`topo_descriptors_spark.operators.tiles`.
+codegen, zero Python in the hot path — except :func:`gaussian_ma_arrow`,
+the chunked-Arrow physical path :func:`gaussian_ma` auto-switches to
+when the kernel radius would blow up the expression bank.  The 2-D grid
+forms of the same descriptors live in
+:mod:`topo_descriptors_spark.operators.tiles`; the zero-shuffle
+packed-array forms in :mod:`topo_descriptors_spark.operators.packed`.
 
 Scale notes (100 TB):
 
