@@ -19,8 +19,9 @@ Scale notes (100 TB):
   per-scale loop (reference topo.py:132-141).
 * Partition-by-entity windows put one entity on one task.  For skewed
   entities (one entity ≫ others) the bounded-frame operators can run on
-  salted sub-partitions with halo rows via
-  :func:`topo_descriptors_spark.operators.tiles.sequence_tiles`.
+  halo-padded sub-partitions via :func:`sequence_chunks_with_halo` /
+  :func:`multiscale_features_chunked` — task size bounded by chunk size
+  regardless of entity skew.
 """
 
 from __future__ import annotations
@@ -134,9 +135,9 @@ def gaussian_ma_col(value: Column, sigma: float, w: WindowSpec) -> Column:
     lag/lead terms — stays in whole-stage codegen.
 
     For radius r = int(4*sigma + 0.5), emits 2r+1 lag expressions over a
-    single window sort.  For large sigmas (r > ~64) prefer the tile-kernel
-    FFT path (operators.tiles) — an expression bank that wide stops being
-    profitable.
+    single window sort.  An expression bank wider than r ~ 64 stops
+    being profitable — :func:`gaussian_ma` auto-switches to
+    :func:`gaussian_ma_arrow` there.
     """
     weights = gaussian_weights(sigma)
     r = len(weights) // 2
