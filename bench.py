@@ -151,8 +151,15 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
     from topo_descriptors_spark.session import get_spark
 
     n_cores = int(cores) if cores.isdigit() else 32
+    # Two measured regimes: at >=16 cores, 16x fine-graining makes the
+    # window-sort path ~1.8x faster (sort runs drop below the
+    # concurrent-spill/DRAM cliff: 512 vs 128 partitions at 32 cores);
+    # at 1-4 cores that cliff doesn't exist and per-partition overhead
+    # dominates, so the coarser 4x layout wins (interleaved A/B:
+    # local[1] 78s@8 vs 88s@16; local[4] 23s@16 vs 28s@64).
+    factor = 16 if n_cores >= 16 else 4
     spark = get_spark("bench", master=f"local[{cores}]",
-                      shuffle_partitions=max(4 * n_cores, 8))
+                      shuffle_partitions=max(factor * n_cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: identical plans at toy size compile the codegen classes
     # and spin up the Python/Arrow workers, so the timed runs measure
