@@ -90,3 +90,20 @@ def test_commit_dirs_metadata_only(spark, table_dir):
     assert S.read_manifest(table_dir, v)["operation"] == "commit_dirs"
     with pytest.raises(FileNotFoundError):
         S.commit_dirs(table_dir, ["part=missing"], fn("u0").schema)
+
+
+def test_orphan_data_dir_is_reclaimed(spark, table_dir):
+    """A crash between the data write and the manifest publish leaves an
+    orphan dir at the next version number; the retried write must
+    reclaim it (no manifest ever referenced it)."""
+    import os
+
+    S.write_snapshot(_batch(spark, 5, "a"), table_dir)
+    # simulate the crash: data for v2 exists, but no manifest / CURRENT
+    orphan = os.path.join(table_dir, "data", "b00002")
+    _batch(spark, 99, "junk").write.parquet(orphan)
+    assert S.current_version(table_dir) == 1
+
+    v = S.write_snapshot(_batch(spark, 7, "b"), table_dir, mode="append")
+    assert v == 2
+    assert S.read_snapshot(spark, table_dir).count() == 12  # junk reclaimed

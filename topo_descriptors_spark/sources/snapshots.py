@@ -99,7 +99,10 @@ def write_snapshot(
     rel_dir = os.path.join("data", f"b{version:05d}")
     obs = Observation(f"snap_{os.path.basename(table_dir)}_{version}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-    observed.write.mode("errorifexists").parquet(os.path.join(table_dir, rel_dir))
+    # overwrite, not errorifexists: a crash between data write and
+    # manifest publish leaves an ORPHAN dir at this version number (no
+    # manifest references it), and the retry must be able to reclaim it
+    observed.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
     n_rows = int(obs.get["n"])
 
     dirs = [rel_dir]
