@@ -310,3 +310,11 @@ def test_gaussian_ma_auto_switch_picks_arrow_for_large_sigma(series_df):
     plan_small = small._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan_small
     assert "Window" in plan_small
+
+
+def test_gaussian_ma_arrow_reserved_name_collision(series_df):
+    with pytest.raises(ValueError, match="_pos"):
+        W.gaussian_ma_arrow(
+            series_df.withColumn("_pos", F.lit(1)), [1.0],
+            value="value", entity="entity_id", order="ts",
+        )

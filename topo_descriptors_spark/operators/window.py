@@ -210,6 +210,12 @@ def gaussian_ma_arrow(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     _check_seq(df, "gaussian_ma_arrow", entity, order, value)
+    clash = {"_pos", "_chunk", "is_core"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"gaussian_ma_arrow: input columns {sorted(clash)} collide with "
+            "internal chunking columns; rename them first"
+        )
     banks = {s: np.asarray(gaussian_weights(s), dtype=np.float64) for s in sigmas}
     names = {s: f"{prefix}_{str(s).replace('.', 'p')}" for s in sigmas}
     halo = max(len(w) // 2 for w in banks.values())
