@@ -531,6 +531,12 @@ def sequence_chunks_with_halo(
     (row distance == position distance) for frame equivalence."""
     if halo >= chunk_size:
         raise ValueError("halo must be smaller than chunk_size")
+    clash = {"_chunk", "is_core", "_off"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"sequence_chunks_with_halo: input columns {sorted(clash)} "
+            "collide with internal chunking columns; rename them first"
+        )
     c = F.lit(int(chunk_size))
     base = F.floor(F.col(order) / c)
     d = df.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
