@@ -318,3 +318,25 @@ def test_gaussian_ma_arrow_reserved_name_collision(series_df):
             series_df.withColumn("_pos", F.lit(1)), [1.0],
             value="value", entity="entity_id", order="ts",
         )
+
+
+def test_sessionize_over_date_axis(spark):
+    """A DATE order column must work (ANSI forbids date->double; the
+    axis hops through timestamp)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "entity_id": [1] * 4,
+            "d": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-03-01", "2024-03-02"]
+            ).date,
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "entity_id", F.col("d").cast("date").alias("d")
+    )
+    out = W.sessionize(
+        df, gap_seconds=7 * 86400, entity="entity_id", order="d"
+    ).toPandas().sort_values("d")
+    assert out["session_id"].tolist() == [0, 0, 1, 1]

@@ -15,6 +15,8 @@ def axis_seconds(df: DataFrame, order: str) -> Column:
     """
     dtype = dict(df.dtypes).get(order, "")
     c = F.col(order)
-    if dtype.startswith("timestamp"):
+    if dtype.startswith("timestamp") or dtype == "date":
+        # DATE cannot cast to double directly under ANSI; hop via
+        # timestamp (midnight UTC — the session timezone is pinned)
         return c.cast("timestamp").cast("double")
     return c.cast("double")
