@@ -421,6 +421,25 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_frame_features(spark, sf_dir):
+    """Video frame-sampling plumbing through the gate: payload split into
+    4 time-uniform chunks (np.array_split semantics), per-frame
+    byte-histogram features — the row-expanding mapInPandas a real
+    ffmpeg sampler would have.  The oracle replays the chunk boundaries
+    and histograms byte-exactly from hex(encode(text))."""
+    from topo_descriptors_spark.operators import multimodal as M
+
+    media = M.attach_fake_media(_docs(spark, sf_dir))
+    frames = M.sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx",
+        *[
+            _r(F.col("frame_features")[i]).alias(f"f_{i}")
+            for i in range(M.N_FEATURES)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup (documents table)
 # ---------------------------------------------------------------------------
@@ -843,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": q_quality,
         "t_fingerprint": q_fingerprint,
         "m_media_features": q_media_features,
+        "m_frame_features": q_frame_features,
         "p_hash_split": q_hash_split,
         "p_sample_mix": q_sample_mix,
         "p_pack_cumsum": q_pack_cumsum,
@@ -1288,6 +1308,45 @@ def _m_media_sql(bins: int = 16) -> str:
         )
         SELECT doc_id::VARCHAR AS media_id, any_value(n)::BIGINT AS n_bytes, {cols}
         FROM bytes GROUP BY doc_id
+    """
+
+
+def _m_frames_sql(n_frames: int = 4, bins: int = 16) -> str:
+    """Replays multimodal.sample_frames for video payloads: portable-hash
+    kind assignment, np.array_split chunk boundaries (first n%k chunks
+    one byte longer), per-chunk byte histogram."""
+    width = 256 // bins
+    h = _DH.format(s="doc_id::VARCHAR")
+    cols = ", ".join(
+        f"round(coalesce(sum(CASE WHEN byte // {width} = {i} THEN 1 ELSE 0 END), 0)"
+        f" / greatest(any_value(clen), 1), {_R}) AS f_{i}"
+        for i in range(bins)
+    )
+    k = n_frames
+    return f"""
+        WITH v AS (
+          SELECT doc_id::VARCHAR AS media_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE ({h}) % 3 = 2
+        ),
+        f AS (
+          SELECT media_id, hx, n,
+                 unnest(generate_series(0, {k - 1}))::INT AS frame_idx
+          FROM v WHERE n > 0
+        ),
+        b AS (
+          SELECT media_id, frame_idx, hx,
+                 frame_idx * (n // {k}) + least(frame_idx, n % {k}) AS s,
+                 (frame_idx + 1) * (n // {k}) + least(frame_idx + 1, n % {k}) AS e
+          FROM f
+        ),
+        bytes AS (
+          SELECT media_id, frame_idx, e - s AS clen,
+                 ('0x' || substr(hx, 2 * unnest(generate_series(s + 1, e)) - 1, 2))::INT AS byte
+          FROM b WHERE e > s
+        )
+        SELECT media_id, frame_idx, {cols}
+        FROM bytes GROUP BY media_id, frame_idx
     """
 
 
@@ -1898,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_minhash_sig": _d_minhash_sig_sql(8),
         "m_media_features": _m_media_sql(16),
+        "m_frame_features": _m_frames_sql(4, 16),
         "p_hash_split": _p_split_sql(),
         "p_sample_mix": _p_mix_sql(),
         "p_pack_cumsum": _p_pack_cumsum_sql(),

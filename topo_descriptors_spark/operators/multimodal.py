@@ -51,10 +51,15 @@ def attach_fake_media(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Derive a deterministic binary payload column from existing data —
-    the stand-in for reading real media bytes from the lake."""
+    the stand-in for reading real media bytes from the lake.  The kind
+    discriminator uses the PORTABLE md5 hash (not xxhash64) so the
+    driver-gate oracle can reproduce the kind assignment in SQL."""
+    from topo_descriptors_spark.operators.text import PORTABLE_HASH_SQL
+
+    h = PORTABLE_HASH_SQL.format(col=f"cast({id_col} as string)")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+        (F.expr(f"{h} % 3") + 1).cast("int"),
     )
     return df.select(
         F.col(id_col).cast("string").alias("media_id"),
