@@ -5,17 +5,27 @@ Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR``
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf",
 plus derived throughput fields}.
 
-The flagship workload is the north-star pipeline: a deterministic
-pre-tokenized table of BASELINE.json:input_hint shape
-(doc_id, tokens array<int32>, n_tok, source) is exploded into per-token
-sequences, multiscale window features + a directional one-sided max are
-computed per sequence, and a point-in-time as-of join attaches the
-features to sampled query positions.  Throughput = sequences/sec.
+The flagship workload is the north-star pipeline in its TWO physical
+forms, both timed (median of --repeats runs each; single runs swing
+2-3x from box drift on this shared VM):
 
-``--scaling`` mode: run the identical flagship job at local[N] and
+* ``flagship_tokens`` — the general engine: a deterministic
+  pre-tokenized table of BASELINE.json:input_hint shape
+  (doc_id, tokens array<int32>, n_tok, source) exploded into per-token
+  sequences, multiscale window features + a directional one-sided max,
+  and a point-in-time as-of join onto sampled query positions.
+* ``flagship_packed`` — the zero-shuffle packed plan
+  (operators/packed.py): identical results straight from the tokens
+  arrays, no explode/shuffle/sort/join.
+
+Throughput = sequences/sec (reported for both forms).
+
+``--scaling`` mode: run the identical flagship jobs at local[N] and
 local[4N] (default N=1, override SPARK_GRAFT_SCALE_N) in fresh JVMs
-(subprocesses), report median-of-3 throughput at both plus the scaling
-efficiency (thr_4N/thr_N)/4, and write BENCH/BASELINE.md.  This is the
+(subprocesses), configs INTERLEAVED (N, 4N, N, 4N, ...) so box drift
+cancels in the ratio; report per-config medians plus the scaling
+efficiency (thr_4N/thr_N)/4 for both plans, and rewrite the measured
+header of BENCH/BASELINE.md (curated sections preserved).  This is the
 sandbox proxy for the north rule's N -> 4N executor requirement (no
 real cluster available here); see run_scaling's docstring for why N=1.
 
