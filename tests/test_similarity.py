@@ -165,3 +165,15 @@ def test_random_projection_preserves_distances(emb):
     # 16 -> 8 dims: distortion concentrated around 1 (JL), no blow-ups
     assert 0.3 < ratio.min() and ratio.max() < 1.9
     assert abs(np.median(ratio) - 1.0) < 0.25
+
+
+def test_cosine_topk_quarantine_guard(spark):
+    big = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="quarantined"):
+        S.cosine_topk(big, k=1, max_rows=100)
+    # override works, and the default bound passes small inputs
+    assert S.cosine_topk(big, k=1, max_rows=None).count() > 0
+    assert S.cosine_topk(big, k=1).count() > 0

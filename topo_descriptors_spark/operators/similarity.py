@@ -47,14 +47,31 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     round_digits: int = 9,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (brute force).
 
     Cosine is rounded to ``round_digits`` BEFORE ranking so the ranking
     is reproducible across engines/summation orders; ties then break on
     neighbor id ascending.
+
+    QUARANTINED at scale: this is the O(n²·d) exactness baseline for the
+    ANN paths (:func:`ann_topk_blocked`, :func:`ivf_topk`), never the
+    production plan.  The ``max_rows`` guard enforces that — inputs
+    larger than it raise instead of silently launching an all-pairs
+    join; pass ``max_rows=None`` only when you really mean it (the
+    bounded ``limit(max+1).count()`` probe is the cost of the guard).
     """
     require_cols(df, "cosine_topk", **{id_col: "atomic", vec: "array_numeric"})
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_topk: input exceeds max_rows={max_rows} — the "
+                "all-pairs baseline is quarantined to oracle-sized inputs; "
+                "use ann_topk_blocked/ivf_topk at scale, or pass "
+                "max_rows=None to override"
+            )
     a = with_norm(df.select(id_col, vec), vec).select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("va"), F.col("_norm").alias("na")
     )
