@@ -475,6 +475,20 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate GROUPS from the MinHash near-dup pairs (min-label
+    propagation over the pair graph; singletons keep their own id) —
+    the pairs-to-keep/drop step of a dedup pipeline.  The oracle replays
+    it with a recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_perms=16, bands=16, threshold=0.4
+    )
+    return dedup.connected_components(docs, pairs).select(
+        "doc_id", "component"
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (8-bit chunk banding + hamming<=6): the
     banding, bucket cap and popcount all replay exactly in SQL."""
@@ -876,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard": q_ngram_jaccard,
         "d_simhash": q_simhash,
         "d_simhash_pairs": q_simhash_pairs,
+        "d_dedup_components": q_dedup_components,
         "s_near_dup_lsh": q_near_dup_lsh,
         "j_asof_fused": q_asof_fused,
         "g_tpi_2d": q_tpi_2d,
@@ -1403,6 +1418,25 @@ def _d_minhash_pairs_sql(
           JOIN sig sa ON p.id_a = sa.doc_id
           JOIN sig sb ON p.id_b = sb.doc_id
         ) WHERE est_jaccard >= {float(threshold)!r}
+    """
+
+
+def _d_components_sql() -> str:
+    """Replays dedup.connected_components over the MinHash pairs: a
+    recursive-CTE transitive closure, component = min reachable id
+    (singletons reach only themselves)."""
+    return f"""
+        WITH RECURSIVE p AS ({_d_minhash_pairs_sql(16, 16, 200, 0.4)}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p
+        ),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1
     """
 
 
@@ -2001,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_simhash": _d_simhash_sql(),
         "d_simhash_pairs": _d_simhash_pairs_sql(6, 500),
+        "d_dedup_components": _d_components_sql(),
         "s_near_dup_lsh": _s_near_dup_lsh_sql(0.3, 4, 7),
         "j_asof_fused": _j_asof_fused_sql(),
         "s_near_dup": f"""

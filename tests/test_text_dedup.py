@@ -156,3 +156,24 @@ def test_repetition_stats(spark):
     assert out.loc[2, "dup_bigram_ratio"] == pytest.approx(1.0 / 3.0)
     assert out.loc[3, "n_words"] == 0
     assert out.loc[3, "dup_word_ratio"] == 0.0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    import pandas as pd
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5, 6]})
+    )
+    # chain 0-1-2 (diameter > 1), pair 4-5, singletons 3 and 6
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 4], "id_b": [1, 2, 5]})
+    )
+    from topo_descriptors_spark.operators.dedup import connected_components
+
+    out = (
+        connected_components(nodes, pairs)
+        .toPandas()
+        .set_index("doc_id")["component"]
+        .to_dict()
+    )
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}

@@ -346,3 +346,67 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# pairs -> duplicate groups (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    out: str = "component",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate groups from near-dup pairs: every node labeled with the
+    MIN id reachable through the pair graph (singletons keep their own
+    id) — the step that turns candidate pairs into keep/drop decisions.
+
+    Min-label propagation: each iteration joins current labels across
+    the (symmetrized) edge set and takes the elementwise min; converges
+    in O(graph diameter) iterations — tiny for dedup graphs, whose
+    components are near-cliques.  Each iteration is one shuffle join +
+    one aggregation; labels are localCheckpoint()ed so lineage stays
+    flat.  The convergence probe is one count per iteration — an
+    iterative algorithm is driver-paced by design; at extreme scale
+    swap in the large-star/small-star variant (same join shapes).
+
+    Deterministic, so the driver-gate oracle replays it exactly with a
+    recursive-CTE transitive closure.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label")))
+                .alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias(out))
