@@ -183,3 +183,25 @@ def test_packed_vs_naive_per_doc_oracle(spark):
             assert (np.isnan(e) and np.isnan(g)) or abs(g - e) < 1e-9, (
                 row.doc_key, row.pos, c, g, e,
             )
+
+
+def test_packed_query_position_out_of_range_raises(spark):
+    """A query position >= the doc's length must raise (it would
+    otherwise silently gather the NEXT document's values), naming the
+    offending doc."""
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators import packed as PK
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_key": ["a", "b"],
+                "tokens": [[1, 2, 3, 4], [5, 6, 7]],
+                "q_positions": [[0, 3], [1, 3]],  # b has len 3 -> pos 3 invalid
+            }
+        )
+    )
+    with pt.raises(Exception, match="out of range"):
+        PK.packed_features_at(df, [3], sigmas=[1.0]).collect()

@@ -177,3 +177,65 @@ def test_cosine_topk_quarantine_guard(spark):
     # override works, and the default bound passes small inputs
     assert S.cosine_topk(big, k=1, max_rows=None).count() > 0
     assert S.cosine_topk(big, k=1).count() > 0
+
+
+def test_exact_pairs_guarded_helper(emb):
+    """embedding_cosine_pairs_exact: values match numpy, and the
+    max_rows quarantine raises instead of launching an all-pairs plan."""
+    df, vecs = emb
+    out = S.embedding_cosine_pairs_exact(
+        df, threshold=0.9, round_digits=9
+    ).toPandas()
+    norm = vecs.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 9)
+    expect = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if cos[i, j] >= 0.9
+    }
+    assert set(zip(out.id_a, out.id_b)) == expect
+    for _, r in out.iterrows():
+        assert r.cosine == pytest.approx(cos[int(r.id_a), int(r.id_b)])
+    with pytest.raises(ValueError, match="quarantined"):
+        S.embedding_cosine_pairs_exact(df, threshold=0.9, max_rows=50)
+
+
+def test_ann_bucket_stats_reports_skew(spark):
+    """Highly correlated embeddings collapse into one sign pattern —
+    ann_bucket_stats must surface the hot bucket."""
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(16)
+    vecs = (base + 0.01 * rng.standard_normal((200, 16))).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                      "embedding": list(vecs)})
+    )
+    stats = S.ann_bucket_stats(df, n_planes=6, dim=16).toPandas()
+    assert stats["count"].max() == 200  # every vector in one bucket
+
+
+def test_ann_max_bucket_splits_hot_bucket(spark):
+    """With max_bucket set, the hot bucket is deterministically salted
+    into sub-shards: every vector still gets k neighbors, neighbors stay
+    genuinely high-cosine, and the result is reproducible."""
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal(16)
+    vecs = (base + 0.01 * rng.standard_normal((200, 16))).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                      "embedding": list(vecs)})
+    )
+    out = S.ann_topk_blocked(
+        df, k=3, n_planes=6, dim=16, max_bucket=32
+    ).toPandas()
+    assert (out.groupby("id_a").size() == 3).all()
+    assert len(out) == 200 * 3
+    assert (out.cosine > 0.99).all()  # correlated fixture: all near-dups
+    again = S.ann_topk_blocked(
+        df, k=3, n_planes=6, dim=16, max_bucket=32
+    ).toPandas()
+    a = out.sort_values(["id_a", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["id_a", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -107,3 +107,43 @@ def test_orphan_data_dir_is_reclaimed(spark, table_dir):
     v = S.write_snapshot(_batch(spark, 7, "b"), table_dir, mode="append")
     assert v == 2
     assert S.read_snapshot(spark, table_dir).count() == 12  # junk reclaimed
+
+
+def test_leftover_manifest_tmp_is_ignored(spark, table_dir):
+    """A crash between the tmp write and os.replace leaves only a .tmp
+    file — history()/read_manifest must be unaffected (the version slot
+    is simply unpublished)."""
+    import json
+    import os
+
+    S.write_snapshot(spark.range(3).toDF("id"), table_dir)
+    # simulate a crashed writer for version 2
+    tmp = os.path.join(table_dir, "_snapshots", "v00002.json.tmp")
+    with open(tmp, "w") as f:
+        f.write('{"version": 2, "corru')  # truncated mid-write
+    assert [m["version"] for m in S.history(table_dir)] == [1]
+    assert S.current_version(table_dir) == 1
+    # the next writer reuses slot 2 cleanly
+    v = S.write_snapshot(spark.range(2).toDF("id"), table_dir)
+    assert v == 2
+    assert json.loads(open(os.path.join(
+        table_dir, "_snapshots", "v00002.json")).read())["version"] == 2
+
+
+def test_iceberg_sink_interface(spark, tmp_path):
+    """Pin the fmt='iceberg' interface so the io.py claim stays
+    executable: in an environment with an Iceberg catalog this writes
+    and reads back; in this sandbox (no catalog/runtime jar) it must
+    SKIP, never silently pass or hard-fail."""
+    import pytest as pt
+
+    from topo_descriptors_spark.sources.io import write_table
+
+    df = spark.range(10).withColumn("k", F.col("id") % 3)
+    path = str(tmp_path / "t_iceberg")
+    try:
+        write_table(df, path, fmt="iceberg", cluster_by=["k"], n_files=2)
+    except Exception as e:  # no catalog: DATA_SOURCE_NOT_FOUND or similar
+        pt.skip(f"no Iceberg runtime in this environment: {str(e)[:100]}")
+    back = spark.read.format("iceberg").load(path)
+    assert back.count() == 10

@@ -177,3 +177,68 @@ def test_connected_components_chain_and_singletons(spark):
         .to_dict()
     )
     assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_star_equals_label(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5, 6]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 4], "id_b": [1, 2, 5]})
+    )
+    out = (
+        connected_components(nodes, pairs, method="star")
+        .toPandas()
+        .set_index("doc_id")["component"]
+        .to_dict()
+    )
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_chain(spark):
+    """A 120-hop duplicate chain: min-label propagation would need
+    ~diameter iterations — it must RAISE at an exhausted budget (never
+    return silently truncated labels), while the large-star/small-star
+    method converges in O(log² n) rounds regardless of diameter."""
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.dedup import connected_components
+
+    n = 121
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    with pt.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iterations=10)
+    out = (
+        connected_components(nodes, pairs, method="star", max_iterations=30)
+        .toPandas()
+    )
+    assert (out["component"] == 0).all()
+
+
+def test_connected_components_star_shuffled_ids(spark):
+    """Star method on a permuted-id graph (roots are not the first ids)
+    plus self-loop-free determinism: labels equal the per-component min."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.dedup import connected_components
+
+    # components: {9, 2, 14}, {5, 11}, singleton {7}
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [9, 2, 14, 5, 11, 7]}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [9, 14, 11], "id_b": [2, 9, 5]})
+    )
+    out = (
+        connected_components(nodes, pairs, method="star")
+        .toPandas()
+        .set_index("doc_id")["component"]
+        .to_dict()
+    )
+    assert out == {9: 2, 2: 2, 14: 2, 5: 5, 11: 5, 7: 7}

@@ -360,23 +360,37 @@ def connected_components(
     dst: str = "id_b",
     out: str = "component",
     max_iterations: int = 25,
+    method: str = "label",
 ) -> DataFrame:
     """Duplicate groups from near-dup pairs: every node labeled with the
     MIN id reachable through the pair graph (singletons keep their own
     id) — the step that turns candidate pairs into keep/drop decisions.
 
-    Min-label propagation: each iteration joins current labels across
-    the (symmetrized) edge set and takes the elementwise min; converges
-    in O(graph diameter) iterations — tiny for dedup graphs, whose
-    components are near-cliques.  Each iteration is one shuffle join +
-    one aggregation; labels are localCheckpoint()ed so lineage stays
-    flat.  The convergence probe is one count per iteration — an
-    iterative algorithm is driver-paced by design; at extreme scale
-    swap in the large-star/small-star variant (same join shapes).
+    Two interchangeable algorithms (identical output, pinned in pytest):
+
+    * ``method="label"`` (default) — min-label propagation: each
+      iteration joins current labels across the (symmetrized) edge set
+      and takes the elementwise min; converges in O(graph diameter)
+      iterations — tiny for dedup graphs, whose components are
+      near-cliques.  Each iteration is one shuffle join + one
+      aggregation; labels are localCheckpoint()ed so lineage stays flat.
+    * ``method="star"`` — large-star/small-star alternation (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14):
+      converges in O(log² n) rounds REGARDLESS of diameter — the swap
+      for pathological chain graphs (duplicate chains >~25 hops) where
+      label propagation would need diameter iterations.
+
+    Both RAISE if the iteration budget is exhausted before convergence —
+    truncated labels silently splitting one component into several is
+    never acceptable for dedup keep/drop decisions.
 
     Deterministic, so the driver-gate oracle replays it exactly with a
     recursive-CTE transitive closure.
     """
+    if method == "star":
+        return _cc_star(nodes, pairs, id_col, src, dst, out, max_iterations)
+    if method != "label":
+        raise ValueError(f"connected_components: unknown method {method!r}")
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -385,6 +399,7 @@ def connected_components(
         "label", F.col("id")
     )
     labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -408,5 +423,110 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "connected_components: min-label propagation did not converge "
+            f"within max_iterations={max_iterations} (graph diameter exceeds "
+            "the iteration budget) — raise max_iterations or use "
+            "method='star' (diameter-independent O(log² n) rounds)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias(out))
+
+
+def _cc_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+    out: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14).  Each round:
+
+    * **large-star** — per node u over the symmetrized neighborhood,
+      m = min(N(u) ∪ {u}); re-point every STRICTLY LARGER neighbor at m.
+    * **small-star** — orient edges high→low, per node u,
+      m = min(N(u) ∪ {u}); re-point u and its smaller neighbors at m.
+
+    Both steps preserve connectivity and strictly shrink star heights;
+    the fixed point is a forest of stars centered at component minima —
+    reached in O(log² n) rounds independent of graph diameter.  Each
+    round is two groupBy-min aggregations + two equi-joins (same shapes
+    as label propagation); convergence is probed with a one-pass
+    permutation-invariant fingerprint (count + sum(xxhash64)) instead of
+    a set-difference join.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = e
+    prev_fp = None
+    converged = False
+    for _ in range(max_iterations):
+        # -- large-star ----------------------------------------------
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star ----------------------------------------------
+        oriented = ls.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = ss
+        fp_row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal(38,0) sum: permutation-invariant set fingerprint
+            # that cannot overflow under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        fp = (fp_row["c"], fp_row["h"])
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            "connected_components: large-star/small-star did not converge "
+            f"within max_iterations={max_iterations} — raise max_iterations"
+        )
+    # at the fixed point edges form stars (child -> component min); the
+    # groupBy-min is a cheap belt-and-braces reduction, not a correctness
+    # crutch
+    stars = edges.groupBy("u").agg(F.min("v").alias("label"))
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().join(
+        stars.select(F.col("u").alias("id"), "label"), "id", "left"
+    )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("label"), F.col("id")).alias(out),
+    )

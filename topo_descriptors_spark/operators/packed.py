@@ -151,6 +151,20 @@ def packed_features_at(
             q_doc = np.repeat(np.arange(len(lens)), q_lens)
             q_pos = (np.concatenate(q_arrays) if len(q_arrays)
                      else np.empty(0, dtype=np.int64))
+            # bounds check BEFORE the gather: a position outside the
+            # doc's token range would otherwise silently read the NEXT
+            # document's values (cross-doc leak) for interior docs
+            bad = (q_pos < 0) | (q_pos >= lens[q_doc])
+            if bad.any():
+                j = int(np.argmax(bad))
+                row = int(q_doc[j])
+                doc = (pdf[keep_cols[0]].iloc[row]
+                       if keep_cols else f"batch row {row}")
+                raise ValueError(
+                    "packed_features_at: query position out of range — "
+                    f"doc {doc!r} (len {int(lens[row])}) has query "
+                    f"position {int(q_pos[j])}"
+                )
             g = offsets[q_doc] + q_pos  # global gather index
 
             out = {c: pdf[c].to_numpy()[q_doc] for c in keep_cols}

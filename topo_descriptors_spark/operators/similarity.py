@@ -93,6 +93,56 @@ def cosine_topk(
     return ranked.where(F.col("rank") <= k)
 
 
+def embedding_cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int | None = None,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact cosine pairs (id_a < id_b, cosine >= threshold) — brute
+    force, the SQL-parity baseline for :func:`embedding_near_dup_pairs`.
+
+    QUARANTINED at scale exactly like :func:`cosine_topk`: this is the
+    only legitimate home for an all-pairs self-join, and the ``max_rows``
+    guard raises on inputs larger than the bound instead of silently
+    launching an O(n²) plan.  Use the LSH-bucketed
+    :func:`embedding_near_dup_pairs` at scale.
+
+    The threshold is applied to the ROUNDED cosine when ``round_digits``
+    is set, so engine-order float noise at the boundary cannot flip pair
+    membership between engines.
+    """
+    require_cols(df, "embedding_cosine_pairs_exact",
+                 **{id_col: "atomic", vec: "array_numeric"})
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs_exact: input exceeds "
+                f"max_rows={max_rows} — the all-pairs baseline is "
+                "quarantined to oracle-sized inputs; use "
+                "embedding_near_dup_pairs at scale, or pass "
+                "max_rows=None to override"
+            )
+    a = with_norm(df.select(id_col, vec), vec).select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = with_norm(df.select(id_col, vec), vec).select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot_col("va", "vb") / (F.col("na") * F.col("nb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= F.lit(float(threshold))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
     """Deterministic unit hyperplanes (n_planes, dim)."""
     rng = np.random.RandomState(seed)
@@ -159,6 +209,30 @@ def ann_topk_lsh(
     return ranked.where(F.col("rank") <= k)
 
 
+def ann_bucket_stats(
+    df: DataFrame,
+    vec: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-pattern bucket-size distribution for the ANN paths — the
+    skew-inspection twin of :func:`dedup.lsh_bucket_stats`.  Highly
+    correlated embeddings (common after dedup or on single-domain
+    corpora) collapse into few sign patterns; inspect this before
+    choosing ``n_planes``/``max_bucket`` for :func:`ann_topk_blocked`.
+    Returns one row per occupied bucket: (bucket, count)."""
+    require_cols(df, "ann_bucket_stats", **{vec: "array_numeric"})
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return (
+        df.select(lsh_bucket_col(vec, planes).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+
+
 def ann_topk_blocked(
     df: DataFrame,
     k: int = 5,
@@ -168,6 +242,7 @@ def ann_topk_blocked(
     round_digits: int = 9,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Arrow-vectorized ANN: the production form of :func:`ann_topk_lsh`.
 
@@ -182,6 +257,16 @@ def ann_topk_blocked(
     Scale: bucket count ~2^n_planes bounds per-task matrices; for
     billion-vector corpora raise n_planes so bucket sizes stay ~10^3-10^4
     (the per-bucket work is O(m^2 d / BLAS)).
+
+    Skew guard: sign-pattern buckets can collapse when embeddings are
+    highly correlated (one domain, post-dedup corpora) — inspect with
+    :func:`ann_bucket_stats`.  With ``max_bucket`` set, buckets larger
+    than it are deterministically SUB-SPLIT (salt = xxhash64(id) mod
+    ceil(m/max_bucket)) so no single task ever materializes a matrix
+    bigger than max_bucket² — recall inside an oversized bucket degrades
+    (neighbors may land in a different salt shard) but the job cannot
+    OOM or straggle on one hot pattern; the split is reported via the
+    stats helper, never silent.
     """
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (
@@ -241,12 +326,16 @@ def ann_topk_blocked(
             }
         )
 
-    return (
-        df.select(id_col, vec)
-        .withColumn("_bucket", bucket_udf(vec))
-        .groupBy("_bucket")
-        .applyInPandas(topk_in_bucket, schema)
-    )
+    bucketed = df.select(id_col, vec).withColumn("_bucket", bucket_udf(vec))
+    group_keys = ["_bucket"]
+    if max_bucket is not None:
+        bcnt = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+        n_sub = F.ceil(bcnt / F.lit(int(max_bucket))).cast("long")
+        bucketed = bucketed.withColumn(
+            "_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub)
+        )
+        group_keys.append("_sub")
+    return bucketed.groupBy(*group_keys).applyInPandas(topk_in_bucket, schema)
 
 
 def ivf_topk(
@@ -310,7 +399,9 @@ def ivf_topk(
         m = np.stack(v.to_numpy()).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sim = m @ centroids.T
-        order = np.argsort(-sim, axis=1)[:, :n_probe]
+        # stable sort: equal similarities tie to the LOWEST cell index,
+        # matching the DuckDB oracle's ORDER BY sim DESC, cell ASC
+        order = np.argsort(-sim, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
     schema = StructType(

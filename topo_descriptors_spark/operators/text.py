@@ -70,7 +70,6 @@ def shingles_from_words_sql(wcol: str, n: int = 3) -> str:
 
 
 def with_words(df: DataFrame, text: str = "text", out: str = "_words") -> DataFrame:
-    require_cols(df, "with_words", **{text: "string"})
     """Materialize the tokenized words array as a column.
 
     Performance-critical: a words/hash array referenced N times must be a
@@ -79,6 +78,7 @@ def with_words(df: DataFrame, text: str = "text", out: str = "_words") -> DataFr
     md5/split work from being recomputed per consumer (measured 7x on
     the minhash signature).
     """
+    require_cols(df, "with_words", **{text: "string"})
     return df.withColumn(out, F.expr(words_sql(text)))
 
 

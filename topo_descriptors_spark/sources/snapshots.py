@@ -61,6 +61,18 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _write_manifest(table_dir: str, version: int, manifest: dict) -> None:
+    """Crash-safe manifest publish: write to a tmp path, then
+    ``os.replace`` into place (same discipline as the CURRENT pointer) —
+    a crash mid-write can never leave a corrupt v<NNNNN>.json that would
+    permanently break ``history()``/``read_manifest`` for that version."""
+    final = _manifest_path(table_dir, version)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    os.replace(tmp, final)
+
+
 def _set_current(table_dir: str, version: int) -> None:
     """Atomic pointer swap: write-then-rename, the commit point."""
     cur = os.path.join(_snap_dir(table_dir), "CURRENT")
@@ -123,8 +135,7 @@ def write_snapshot(
         "schema": df.schema.jsonValue(),
         "lineage": lineage or {},
     }
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f, indent=2, default=str)
+    _write_manifest(table_dir, version, manifest)
     _set_current(table_dir, version)  # commit point
     return version
 
@@ -163,8 +174,7 @@ def commit_dirs(
         "schema": schema.jsonValue(),
         "lineage": lineage or {},
     }
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f, indent=2, default=str)
+    _write_manifest(table_dir, version, manifest)
     _set_current(table_dir, version)
     return version
 
