@@ -369,6 +369,55 @@ def q_token_count(spark, sf_dir):
     return text.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
 
 
+# deterministic PII injection for the redaction gate: the synthetic
+# corpus has no real emails/phones, so both engines append the SAME
+# synthetic contact lines to a doc subset before redacting — the gate
+# then proves the regex rules fire identically, not just trivially
+_PII_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' contact: user', doc_id, '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END)"
+)
+_PII_DUCK = (
+    "text ||"
+    " (CASE WHEN doc_id % 7 = 0 THEN ' contact: user' || doc_id::VARCHAR || '@example.com' ELSE '' END) ||"
+    " (CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END)"
+)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails + phone-like numbers -> typed placeholders,
+    with removal counts) over the documents table with deterministic
+    injected contacts (same injection replayed by the oracle)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_SPARK).alias("text")
+    )
+    return text.redact_pii(d).select(
+        "doc_id", "n_emails", "n_phones", "text_redacted"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct 5-gram overlap counts against
+    a held-out 'benchmark' slice (doc_id % 10 = 0) — flags training docs
+    that would leak eval data."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.decontaminate(docs, bench, n=5, min_hits=1).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+
+
+def q_seeded_shuffle(spark, sf_dir):
+    """Deterministic seeded corpus shuffle: reproducible pseudo-random
+    serving order via the portable-hash rank (exact oracle replay)."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    return P.seeded_shuffle(_docs(spark, sf_dir), seed=42).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
 def q_token_regex(spark, sf_dir):
     return text.token_count_regex(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens_bpe"
@@ -931,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rank_ops": q_rank_ops,
         "w_sessionize_stream": q_sessionize_stream,
         "d_components_star": q_dedup_components_star,
+        "t_pii_redact": q_pii_redact,
+        "d_decontaminate": q_decontaminate,
+        "p_seeded_shuffle": q_seeded_shuffle,
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
@@ -1062,6 +1114,16 @@ _D_SHINGLES = (
     "CASE WHEN len(wl) >= 3 THEN list_transform(generate_series(1, len(wl) - 2), "
     "i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) ELSE [] END"
 )
+
+
+def _d_shingles_n(n: int) -> str:
+    """Parametrized word n-gram shingles over a materialized ``wl``."""
+    parts = " || ' ' || ".join(f"wl[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(wl) >= {n} THEN "
+        f"list_transform(generate_series(1, len(wl) - {n - 1}), i -> {parts}) "
+        "ELSE [] END"
+    )
 
 
 def _d_markers(markers: list[str]) -> str:
@@ -2114,6 +2176,46 @@ def oracle_sql() -> dict[str, str]:
         "d_dedup_components": _d_components_sql(),
         # star method must be label-identical to min-label propagation
         "d_components_star": _d_components_sql(),
+        "t_pii_redact": f"""
+            WITH p AS (SELECT doc_id, {_PII_DUCK} AS text FROM documents),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{text.PII_EMAIL}'))::BIGINT AS n_emails,
+                     regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+              FROM p
+            )
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '{text.PII_PHONE}'))::BIGINT AS n_phones,
+                   regexp_replace(t1, '{text.PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+            FROM e
+        """,
+        "d_decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
+            sh AS (SELECT doc_id, {_d_shingles_n(5)} AS sl FROM w),
+            corpus AS (
+              SELECT doc_id, {_DH.format(s='unnest(sl)')} AS h FROM sh
+            ),
+            bench AS (
+              SELECT DISTINCT {_DH.format(s='unnest(sl)')} AS h
+              FROM sh WHERE doc_id % 10 = 0
+            ),
+            hits AS (
+              SELECT c.doc_id, count(DISTINCT c.h)::BIGINT AS n_hits
+              FROM corpus c JOIN bench b ON c.h = b.h
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "p_seeded_shuffle": f"""
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY {_DH.format(s="'s42_' || doc_id::VARCHAR")}, doc_id
+                   ) - 1)::BIGINT AS shuffle_pos
+            FROM documents
+        """,
         # streaming sessionize drained availableNow == batch gap rule
         # (session_window breaks on gap >= 21600, hence >= not >)
         "w_sessionize_stream": f"""

@@ -133,3 +133,27 @@ def test_resample_by_source(docs):
         df, {"s0": 3.0, "s1": 0.0, "s2": 1.5}, default_rate=1.0
     ).toPandas()
     assert len(again) == len(out)
+
+
+def test_seeded_shuffle_is_a_stable_permutation(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.pipeline import seeded_shuffle
+
+    pdf = pd.DataFrame({"doc_id": list(range(100))})
+    df = spark.createDataFrame(pdf)
+    a = seeded_shuffle(df, seed=42).toPandas().sort_values("doc_id")
+    # exact permutation of 0..n-1
+    assert sorted(a["shuffle_pos"]) == list(range(100))
+    # not the identity order (it's a shuffle)
+    assert list(a["shuffle_pos"]) != list(range(100))
+    # stable across reruns and physical layout
+    b = (
+        seeded_shuffle(df.repartition(7), seed=42)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(a["shuffle_pos"]) == list(b["shuffle_pos"])
+    # a different seed gives a different epoch order
+    c = seeded_shuffle(df, seed=43).toPandas().sort_values("doc_id")
+    assert list(a["shuffle_pos"]) != list(c["shuffle_pos"])

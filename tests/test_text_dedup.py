@@ -242,3 +242,65 @@ def test_connected_components_star_shuffled_ids(spark):
         .to_dict()
     )
     assert out == {9: 2, 2: 2, 14: 2, 5: 5, 11: 5, 7: 7}
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at a.b+x@test.org or c@d.io thanks",
+                "call 555-123-4567 or 555 1234 5678",
+                "digits in email stay: z9@x.co 123-456-7890",
+                "clean text, no pii at all",
+            ],
+        }
+    )
+    out = (
+        redact_pii(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_phones"] == 0
+    assert out.loc[0, "text_redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_phones"] == 2
+    assert "<PHONE>" in out.loc[1, "text_redacted"]
+    # email redacted FIRST, so its local digits never count as a phone
+    assert out.loc[2, "n_emails"] == 1 and out.loc[2, "n_phones"] == 1
+    assert out.loc[3, "n_emails"] == 0 and out.loc[3, "n_phones"] == 0
+    assert out.loc[3, "text_redacted"] == "clean text, no pii at all"
+
+
+def test_decontaminate_flags_overlap(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "a completely different sentence with no overlap here",
+                    "quick brown fox jumps again today",  # shares a 3-gram
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"text": ["quick brown fox jumps over fences"]})
+    )
+    out = (
+        decontaminate(docs, bench, n=3, min_hits=1)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 1 shares "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert out.loc[1, "n_hits"] == 3 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_hits"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_hits"] == 2 and bool(out.loc[3, "contaminated"])

@@ -22,7 +22,7 @@ Scale design (the 100-TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from topo_descriptors_spark.functions.validate import require_cols
@@ -348,6 +348,62 @@ def simhash_pairs(
     return pairs
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: count, per training doc, the DISTINCT
+    word n-gram hashes it shares with a benchmark/eval corpus, and flag
+    docs with ``>= min_hits`` — the step that keeps test sets out of a
+    training corpus (the n-gram-overlap rule used by GPT-3/PaLM-style
+    data decontamination).
+
+    Plan: portable-md5 shingle hashes on both sides (the same hash
+    family as the MinHash/Jaccard ops, so the DuckDB oracle replays it
+    exactly); the benchmark side is deduplicated and BROADCAST — eval
+    sets are a few million shingles at most, so the 100-TB corpus side
+    never shuffles: explode (linear) → broadcast hash join →
+    per-doc count-distinct with map-side partial aggregation.  Returns
+    EVERY doc (left join) with ``n_hits`` and ``contaminated``.
+    """
+    require_cols(docs, "decontaminate", **{id_col: "atomic", text: "string"})
+    require_cols(benchmark, "decontaminate(benchmark)", **{text: "string"})
+    corpus = (
+        with_shingle_hashes(docs.select(id_col, text), text, n, "_sh")
+        # explode_outer (not explode): InferFiltersFromGenerate would
+        # duplicate the shingle-hash expression into a pre-Generate
+        # filter (measured 6x on the jaccard op)
+        .select(id_col, F.explode_outer("_sh").alias("h"))
+        .where(F.col("h").isNotNull())
+    )
+    bench_h = (
+        with_shingle_hashes(benchmark.select(text), text, n, "_sh")
+        .select(F.explode_outer("_sh").alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench_h), "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(int(min_hits))).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # pairs -> duplicate groups (connected components)
 # ---------------------------------------------------------------------------
@@ -400,29 +456,34 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+        )
+        # the convergence probe piggybacks on the label-update pass via
+        # observe: ONE action per iteration (the eager localCheckpoint
+        # materializes the join and fills the observation) instead of a
+        # separate compare-join + count
+        obs = Observation(f"cc_changed_{it}")
         updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label")))
-                .alias("label"),
+            .withColumn("_new", new_label)
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("_new") != F.col("label")).cast("long")
+                ).alias("changed"),
             )
+            .select("id", F.col("_new").alias("label"))
         )
         updated = updated.localCheckpoint()
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = updated
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             converged = True
             break
     if not converged:

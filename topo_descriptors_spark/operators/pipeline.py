@@ -223,3 +223,43 @@ def resample_by_source(
     )
     # inner explode: n == 0 rows disappear (that's the down-sampling)
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global shuffle order for training-data serving:
+    ``shuffle_pos`` = rank of the seeded portable hash of the id (ties
+    broken by id), so the corpus is served in a reproducible pseudo-
+    random order that is stable across reruns, repartitioning and
+    engine versions — change ``seed`` for a fresh epoch order.
+
+    Gate-sized form uses one global row_number; the 100-TB form is the
+    same expression with ``repartitionByRange(_h)`` +
+    ``sortWithinPartitions`` and files written in partition order — a
+    single range shuffle with per-partition local sorts (Spark's
+    standard total-order pattern), never a one-reducer global sort.
+    The hash is the portable md5 family, so DuckDB replays the exact
+    permutation.
+    """
+    require_cols(df, "seeded_shuffle", **{id_col: "atomic"})
+    if "_h" in df.columns:
+        raise ValueError("seeded_shuffle: input already has internal column '_h'")
+    h = PORTABLE_HASH_SQL.format(
+        col=f"concat('s{int(seed)}_', cast({id_col} as string))"
+    )
+    return (
+        df.withColumn("_h", F.expr(h))
+        .withColumn(
+            out,
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("_h"), F.col(id_col))
+                ) - 1
+            ).cast("long"),
+        )
+        .drop("_h")
+    )

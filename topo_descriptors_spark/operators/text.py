@@ -232,3 +232,35 @@ def repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("dup_bigram_ratio", dup_bigram)
         .drop("_rw", "_rb")
     )
+
+
+# PII patterns kept to the regex subset shared by Java (Spark) and RE2
+# (DuckDB): character classes, +, {m,n} — no backrefs, no lookaround —
+# so the gate oracle replays the exact same redaction
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+
+
+def redact_pii(
+    df: DataFrame, text: str = "text", out: str = "text_redacted"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails and phone-like
+    number groups with typed placeholder tokens and count what was
+    removed — the standard pre-training privacy pass.
+
+    Pure JVM expressions (regexp_extract_all + regexp_replace), one
+    linear scan per row, no shuffle — at 100 TB this is a map-only stage
+    that pipelines with the scan.  Patterns live in the Java∩RE2 regex
+    subset so the DuckDB oracle applies the identical rules.  Emails are
+    redacted before phones so digits inside an email never double-count.
+    """
+    require_cols(df, "redact_pii", **{text: "string"})
+    n_emails = F.size(F.regexp_extract_all(F.col(text), F.lit(PII_EMAIL), F.lit(0)))
+    step1 = F.regexp_replace(F.col(text), PII_EMAIL, "<EMAIL>")
+    d = df.withColumn("n_emails", n_emails.cast("long")).withColumn("_t1", step1)
+    n_phones = F.size(F.regexp_extract_all(F.col("_t1"), F.lit(PII_PHONE), F.lit(0)))
+    return (
+        d.withColumn("n_phones", n_phones.cast("long"))
+        .withColumn(out, F.regexp_replace(F.col("_t1"), PII_PHONE, "<PHONE>"))
+        .drop("_t1")
+    )
