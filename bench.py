@@ -356,7 +356,8 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
         for c in (SCALING_N, SCALING_4N)
     }
     results = {}
-    for _round in range(3):
+    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    for _round in range(n_rounds):
         for cores in (SCALING_N, SCALING_4N):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cores", cores,
@@ -414,6 +415,7 @@ def _write_baseline_md(report: dict, results: dict) -> None:
         if CURATED_MARKER in old:
             tail = old[old.index(CURATED_MARKER):]
     n, n4 = SCALING_N, SCALING_4N
+    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     with open(path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput + scaling evidence\n\n"
@@ -421,7 +423,7 @@ def _write_baseline_md(report: dict, results: dict) -> None:
             "executors.  Sandbox proxy (no real cluster): the identical\n"
             f"flagship job (explode pre-tokenized docs -> multiscale window\n"
             f"features + directional max -> as-of join) at local[{n}] vs\n"
-            f"local[{n4}] in fresh JVMs, same input, same plan; median of 3\n"
+            f"local[{n4}] in fresh JVMs, same input, same plan; median of {n_rounds}\n"
             "steady-state runs per config (warm-up excluded), configs\n"
             f"INTERLEAVED ({n}, {n4}, {n}, {n4}, ...) so minute-scale box\n"
             "drift hits both sides equally instead of biasing the ratio.\n\n"
