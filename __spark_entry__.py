@@ -418,6 +418,47 @@ def q_seeded_shuffle(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary stats: top-100 lowercased words by frequency,
+    ties to word ascending (deterministic LIMIT boundary)."""
+    return text.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM quality proxy: per-doc mean -ln p(word)
+    under the corpus unigram distribution."""
+    out = text.unigram_logprob(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_words", _r("neg_logprob").alias("neg_logprob"))
+
+
+# deterministic boilerplate injection for the line-dedup gate: the
+# synthetic corpus is single-line with all-distinct texts, so both
+# engines append the SAME repeated boilerplate line (dropped: corpus
+# count ~n/3) and a per-doc unique footer (kept: count 1)
+_LINES_SPARK_COLS = lambda: F.concat(  # noqa: E731 — tiny shared builder
+    F.col("text"),
+    F.when(F.col("doc_id") % 3 == 0,
+           F.concat(F.lit("\n"), F.lit("subscribe to our newsletter today"))
+           ).otherwise(F.lit("")),
+    F.when(F.col("doc_id") % 5 == 0,
+           F.concat(F.lit("\nfooter note "), F.col("doc_id").cast("string"))
+           ).otherwise(F.lit("")),
+)
+_LINES_DUCK = (
+    "text ||"
+    " (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END) ||"
+    " (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'footer note ' || doc_id::VARCHAR ELSE '' END)"
+)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line dedup (C4 boilerplate rule) with deterministic
+    injected boilerplate replayed identically by the oracle: the shared
+    newsletter line is dropped everywhere, unique footers survive."""
+    d = _docs(spark, sf_dir).select("doc_id", _LINES_SPARK_COLS().alias("text"))
+    return text.dedup_lines(d).select("doc_id", "text_dedup", "n_dropped")
+
+
 def q_token_regex(spark, sf_dir):
     return text.token_count_regex(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens_bpe"
@@ -983,6 +1024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_redact": q_pii_redact,
         "d_decontaminate": q_decontaminate,
         "p_seeded_shuffle": q_seeded_shuffle,
+        "t_vocab_topk": q_vocab_topk,
+        "t_unigram_logprob": q_unigram_logprob,
+        "t_line_dedup": q_line_dedup,
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
@@ -2215,6 +2259,43 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY {_DH.format(s="'s42_' || doc_id::VARCHAR")}, doc_id
                    ) - 1)::BIGINT AS shuffle_pos
             FROM documents
+        """,
+        "t_vocab_topk": f"""
+            WITH w AS (SELECT lower(unnest({_DW})) AS word FROM documents)
+            SELECT word, count(*)::BIGINT AS n FROM w
+            GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "t_unigram_logprob": f"""
+            WITH w AS (SELECT doc_id, lower(unnest({_DW})) AS word FROM documents),
+            freq AS (SELECT word, count(*)::DOUBLE AS cnt FROM w GROUP BY word),
+            tot AS (SELECT sum(cnt) AS t FROM freq),
+            s AS (
+              SELECT doc_id, -ln(cnt / t) AS lp
+              FROM w JOIN freq USING (word) CROSS JOIN tot
+            ),
+            pd AS (
+              SELECT doc_id, avg(lp) AS nlp, count(*)::BIGINT AS nw
+              FROM s GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(pd.nw, 0)::BIGINT AS n_words,
+                   round(pd.nlp, {_R}) AS neg_logprob
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """,
+        "t_line_dedup": f"""
+            WITH p AS (SELECT doc_id, {_LINES_DUCK} AS text FROM documents),
+            sl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p),
+            l AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM sl
+            ),
+            c AS (SELECT line, count(*)::BIGINT AS df FROM l GROUP BY line),
+            j AS (SELECT l.doc_id, l.pos, l.line, c.df FROM l JOIN c ON l.line = c.line)
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE df <= 1), '') AS text_dedup,
+                   count(*) FILTER (WHERE df > 1)::BIGINT AS n_dropped
+            FROM j GROUP BY doc_id
         """,
         # streaming sessionize drained availableNow == batch gap rule
         # (session_window breaks on gap >= 21600, hence >= not >)

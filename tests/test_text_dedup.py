@@ -304,3 +304,72 @@ def test_decontaminate_flags_overlap(spark):
     assert out.loc[1, "n_hits"] == 3 and bool(out.loc[1, "contaminated"])
     assert out.loc[2, "n_hits"] == 0 and not bool(out.loc[2, "contaminated"])
     assert out.loc[3, "n_hits"] == 2 and bool(out.loc[3, "contaminated"])
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["b a a", "B b c", ""]})
+    )
+    out = vocab_topk(docs, k=2).toPandas()
+    # counts: a=2, b=3 (case-folded), c=1 -> top2 = b(3), a(2)
+    assert list(out["word"]) == ["b", "a"]
+    assert list(out["n"]) == [3, 2]
+    # tie-break: with k=3, c arrives after a (count 1 < 2)
+    out3 = vocab_topk(docs, k=3).toPandas()
+    assert list(out3["word"]) == ["b", "a", "c"]
+
+
+def test_unigram_logprob_matches_hand_calc(spark):
+    import math
+
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a a b", "b c", ""]})
+    )
+    out = (
+        unigram_logprob(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    # corpus: a=2, b=2, c=1, total=5
+    pa, pb, pc = 2 / 5, 2 / 5, 1 / 5
+    exp1 = -(math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    exp2 = -(math.log(pb) + math.log(pc)) / 2
+    assert out.loc[1, "neg_logprob"] == pytest.approx(exp1)
+    assert out.loc[2, "neg_logprob"] == pytest.approx(exp2)
+    assert out.loc[1, "n_words"] == 3 and out.loc[2, "n_words"] == 2
+    # empty doc: no words, NULL score
+    assert out.loc[3, "n_words"] == 0 and pd.isna(out.loc[3, "neg_logprob"])
+    # rarer tokens -> higher surprise
+    assert out.loc[2, "neg_logprob"] > out.loc[1, "neg_logprob"]
+
+
+def test_dedup_lines_drops_boilerplate_keeps_order(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "unique one\nSUBSCRIBE NOW\nunique two",
+                    "other content\nSUBSCRIBE NOW",
+                    "SUBSCRIBE NOW",  # nothing survives
+                ],
+            }
+        )
+    )
+    out = (
+        dedup_lines(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "text_dedup"] == "unique one\nunique two"  # order kept
+    assert out.loc[1, "n_dropped"] == 1
+    assert out.loc[2, "text_dedup"] == "other content"
+    assert out.loc[3, "text_dedup"] == "" and out.loc[3, "n_dropped"] == 1

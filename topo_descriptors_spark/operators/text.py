@@ -264,3 +264,121 @@ def redact_pii(
         .withColumn(out, F.regexp_replace(F.col("_t1"), PII_PHONE, "<PHONE>"))
         .drop("_t1")
     )
+
+
+def vocab_topk(
+    df: DataFrame, text: str = "text", k: int = 100,
+    out_word: str = "word", out_count: str = "n",
+) -> DataFrame:
+    """Corpus vocabulary statistics: top-k lowercased whitespace words by
+    frequency (ties break on word ascending — fully deterministic).
+
+    100-TB shape: explode is linear and pipelines with the scan; the
+    groupBy gets map-side partial aggregation, so the shuffle carries
+    one row per (partition, word) — the vocabulary, not the corpus; the
+    global top-k sorts only the aggregated vocab table (tiny vs input).
+    """
+    require_cols(df, "vocab_topk", **{text: "string"})
+    w = (
+        with_words(df.select(text), text, "_vw")
+        .select(F.explode_outer("_vw").alias(out_word))
+        .where(F.col(out_word).isNotNull())
+        .select(F.lower(F.col(out_word)).alias(out_word))
+    )
+    counts = w.groupBy(out_word).agg(F.count(F.lit(1)).alias(out_count))
+    return counts.orderBy(F.col(out_count).desc(), F.col(out_word).asc()).limit(k)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "neg_logprob",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Unigram language-model quality proxy (CCNet-style): per doc, the
+    mean negative log-probability of its words under the CORPUS unigram
+    distribution — high values mark gibberish / rare-token soup, low
+    values mark repetitive boilerplate; the cheap stand-in for a
+    perplexity filter when no external LM is available.
+
+    Two linear passes over the exploded words: (1) corpus frequencies
+    (map-side partial agg; shuffle carries the vocabulary only), (2) a
+    words->freq equi-join (vocab broadcast when it fits — Zipf says a
+    100-TB corpus still has a broadcastable head; set
+    ``broadcast_vocab=False`` to let AQE pick a shuffle join for huge
+    vocabularies) and a per-doc mean.  Docs with no words return NULL.
+    """
+    require_cols(df, "unigram_logprob",
+                 **{id_col: "atomic", text: "string"})
+    w = (
+        with_words(df.select(id_col, text), text, "_uw")
+        .select(id_col, F.explode_outer("_uw").alias("_word"))
+        .where(F.col("_word").isNotNull())
+        .select(id_col, F.lower(F.col("_word")).alias("_word"))
+    )
+    freq = w.groupBy("_word").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = freq.agg(F.sum("_cnt").cast("double").alias("_tot"))
+    freq = freq.crossJoin(F.broadcast(total))
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
+    scored = w.join(freq, "_word").withColumn(
+        "_lp", -F.log(F.col("_cnt") / F.col("_tot"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.avg("_lp").alias(out), F.count(F.lit(1)).alias("n_words")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.col(out),
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1,
+    sep: str = "\n",
+    out: str = "text_dedup",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb boilerplate
+    rule): drop every line whose corpus-wide occurrence count exceeds
+    ``max_df`` (default 1 — any line appearing in more than one place
+    is boilerplate: nav menus, cookie banners, signatures), then
+    reassemble each document with its surviving lines in original order.
+
+    Plan: posexplode lines (linear) → corpus line-count aggregation
+    (map-side partial agg; the shuffle carries distinct lines) →
+    count join back (the count side has ONE row per line, so the join
+    key skew IS the boilerplate we drop — no salting needed) → per-doc
+    ordered reassembly via array_sort(collect_list(struct(pos, line)))
+    (bounded by document size, not corpus size).
+    """
+    require_cols(df, "dedup_lines", **{id_col: "atomic", text: "string"})
+    lines = df.select(
+        id_col, F.posexplode_outer(F.split(F.col(text), F.lit(sep), -1))
+        .alias("_pos", "_line")
+    )
+    counts = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_df"))
+    joined = lines.join(counts, "_line")
+    kept_struct = F.when(
+        F.col("_df") <= F.lit(int(max_df)),
+        F.struct(F.col("_pos"), F.col("_line")),
+    )
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias(out),
+        F.sum((F.col("_df") > F.lit(int(max_df))).cast("long"))
+        .alias("n_dropped"),
+    )
