@@ -68,3 +68,35 @@ def test_partition_pruning_on_checkpointed_output(spark, tmp_path):
     assert "PartitionFilters" in plan
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "part" in m.group(1)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must arrive via broadcast — the 100-TB
+    corpus side never shuffles for the overlap join."""
+    from topo_descriptors_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    plan = _plan(decontaminate(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_aggregates_before_sort(spark):
+    """Top-k must sort the AGGREGATED vocabulary (partial_count on the
+    map side), never the exploded corpus: the plan's sort input is the
+    aggregate, and the aggregation has a partial phase."""
+    from topo_descriptors_spark.operators.text import vocab_topk
+
+    plan = _plan(vocab_topk(read_table(spark, SF, "documents"), k=10))
+    assert "partial_count" in plan  # map-side combine on the explode
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_lines_no_cartesian_single_linecount_join(spark):
+    from topo_descriptors_spark.operators.text import dedup_lines
+
+    plan = _plan(dedup_lines(read_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # line counts combine map-side
