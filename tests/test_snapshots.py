@@ -147,3 +147,44 @@ def test_iceberg_sink_interface(spark, tmp_path):
         pt.skip(f"no Iceberg runtime in this environment: {str(e)[:100]}")
     back = spark.read.format("iceberg").load(path)
     assert back.count() == 10
+
+
+def test_expire_snapshots_respects_shared_history(spark, table_dir):
+    """Append chains share data dirs: expiring old versions must delete
+    ONLY dirs no surviving manifest references, and never the CURRENT
+    version even if it is old (post-rollback)."""
+    import os
+
+    S.write_snapshot(spark.range(4).toDF("id"), table_dir)             # v1
+    S.write_snapshot(spark.range(3).toDF("id"), table_dir, mode="append")  # v2 refs v1's dir
+    S.write_snapshot(spark.range(2).toDF("id"), table_dir, mode="overwrite")  # v3
+    S.write_snapshot(spark.range(1).toDF("id"), table_dir, mode="overwrite")  # v4
+
+    # dry run deletes nothing
+    rep = S.expire_snapshots(table_dir, keep_last=2, dry_run=True)
+    assert rep["expired_versions"] == [1, 2]
+    assert [m["version"] for m in S.history(table_dir)] == [1, 2, 3, 4]
+
+    rep = S.expire_snapshots(table_dir, keep_last=2)
+    assert rep["expired_versions"] == [1, 2]
+    assert [m["version"] for m in S.history(table_dir)] == [3, 4]
+    # v1's dir was referenced only by expired manifests -> gone
+    assert not os.path.isdir(os.path.join(table_dir, "data", "b00001"))
+    # surviving versions still read
+    assert S.read_snapshot(spark, table_dir).count() == 1
+    assert S.read_snapshot(spark, table_dir, version=3).count() == 2
+
+
+def test_expire_snapshots_keeps_current_after_rollback(spark, table_dir):
+    import os
+
+    S.write_snapshot(spark.range(5).toDF("id"), table_dir)                    # v1
+    S.write_snapshot(spark.range(6).toDF("id"), table_dir, mode="overwrite")   # v2
+    S.write_snapshot(spark.range(7).toDF("id"), table_dir, mode="overwrite")   # v3
+    S.rollback(table_dir, 1)
+    rep = S.expire_snapshots(table_dir, keep_last=1)
+    # CURRENT (v1) survives alongside the newest (v3)
+    assert 1 in rep["kept_versions"] and 3 in rep["kept_versions"]
+    assert rep["expired_versions"] == [2]
+    assert S.read_snapshot(spark, table_dir).count() == 5
+    assert os.path.isdir(os.path.join(table_dir, "data", "b00001"))

@@ -208,3 +208,55 @@ def rollback(table_dir: str, version: int) -> None:
     if not os.path.exists(_manifest_path(table_dir, version)):
         raise FileNotFoundError(f"no snapshot v{version} in {table_dir}")
     _set_current(table_dir, version)
+
+
+def expire_snapshots(
+    table_dir: str, keep_last: int = 2, dry_run: bool = False
+) -> dict:
+    """Iceberg-style snapshot expiration: drop all but the newest
+    ``keep_last`` manifests (the CURRENT version is always kept, even
+    after a rollback to an old version), then delete data directories
+    no surviving manifest references.
+
+    Safe by construction: the reachable-set is computed from the
+    SURVIVING manifests (append manifests carry their full data-dir
+    list, so history sharing is respected), deletion order is
+    manifests-first (a crash mid-expire leaves unreferenced data dirs —
+    exactly the orphan state ``write_snapshot`` already reclaims), and
+    the CURRENT pointer is never touched.  ``dry_run`` reports what
+    would go without deleting.
+
+    Returns {"expired_versions": [...], "removed_dirs": [...],
+    "kept_versions": [...]}.
+    """
+    import shutil
+
+    versions = sorted(m["version"] for m in history(table_dir))
+    if not versions:
+        return {"expired_versions": [], "removed_dirs": [], "kept_versions": []}
+    cur = current_version(table_dir)
+    keep = set(versions[-max(int(keep_last), 1):])
+    if cur is not None:
+        keep.add(cur)
+    expired = [v for v in versions if v not in keep]
+    reachable: set[str] = set()
+    for v in keep:
+        reachable.update(read_manifest(table_dir, v)["data_dirs"])
+    doomed_dirs = sorted(
+        {
+            d
+            for v in expired
+            for d in read_manifest(table_dir, v)["data_dirs"]
+        }
+        - reachable
+    )
+    if not dry_run:
+        for v in expired:  # manifests first: crash leaves only orphans
+            os.remove(_manifest_path(table_dir, v))
+        for d in doomed_dirs:
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    return {
+        "expired_versions": expired,
+        "removed_dirs": doomed_dirs,
+        "kept_versions": sorted(keep),
+    }
