@@ -70,3 +70,54 @@ def test_stream_sessions_equal_batch(spark):
         assert g["n_events"].tolist() == e["n_events"].tolist()
         assert (g["sum_value"] - e["sum_value"]).abs().max() < 1e-9
         assert g["first_ts"].equals(e["first_ts"])
+
+
+def test_dedup_stream_equals_batch_within_watermark(spark):
+    """Duplicates re-sent across micro-batches (within the watermark)
+    collapse to one row per key — equal to batch dropDuplicates."""
+    import numpy as np
+
+    from topo_descriptors_spark.streaming.sessions import dedup_stream
+
+    rng = np.random.RandomState(5)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0 + pd.Timedelta(seconds=int(rng.randint(0, 3000))), float(rng.rand()))
+        for i in range(40)
+    ]
+    pdf1 = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+    # second file: 15 duplicate ids (same payload) + 10 new ids
+    dup = pdf1.iloc[:15]
+    new = pd.DataFrame(
+        [
+            (100 + i, t0 + pd.Timedelta(seconds=3000 + i), float(i))
+            for i in range(10)
+        ],
+        columns=["event_id", "ts", "value"],
+    )
+    pdf2 = pd.concat([dup, new])
+
+    with tempfile.TemporaryDirectory() as d:
+        import time
+
+        src, out, ckp = f"{d}/src", f"{d}/out", f"{d}/ckp"
+        os.makedirs(src)
+        spark.createDataFrame(pdf1).coalesce(1).write.parquet(f"{src}/b1")
+        time.sleep(1.1)
+        spark.createDataFrame(pdf2).coalesce(1).write.parquet(f"{src}/b2")
+        schema = spark.read.parquet(f"{src}/b1").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        deduped = dedup_stream(stream, id_cols=("event_id",), watermark="2 hours")
+        run_available_now(deduped, out, ckp)
+        got = spark.read.parquet(out)
+        assert got.count() == 50  # 40 originals + 10 new, 15 dups dropped
+        assert got.select("event_id").distinct().count() == 50
+        batch = (
+            spark.createDataFrame(pd.concat([pdf1, pdf2]))
+            .dropDuplicates(["event_id"])
+        )
+        assert batch.count() == got.count()

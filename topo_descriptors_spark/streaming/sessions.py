@@ -64,3 +64,27 @@ def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication, state bounded by the watermark:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among
+    duplicates arriving within the watermark horizon and AGES KEYS OUT
+    of state once the watermark passes them — the production form of
+    exact dedup for unbounded ingestion, where a plain
+    ``dropDuplicates`` would grow state forever.
+
+    Contract vs batch: equal to ``df.dropDuplicates(id_cols)`` whenever
+    re-sends of a key arrive within ``watermark`` of the original
+    (pytest-pinned); re-sends later than the horizon are re-admitted by
+    design — that is the bounded-state trade every streaming dedup
+    makes, and the horizon is the knob.
+    """
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
