@@ -459,6 +459,26 @@ def q_line_dedup(spark, sf_dir):
     return text.dedup_lines(d).select("doc_id", "text_dedup", "n_dropped")
 
 
+def q_quantize(spark, sf_dir):
+    """int8 embedding quantization (storage path): per-vector scale +
+    floor-half-up codes; the gate compares scalar summaries (scale, code
+    sum/max, reconstruction MSE) — the codes themselves are replayed
+    inside both engines' expressions."""
+    q = similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    mse = F.expr(
+        "aggregate(zip_with(q, embedding, (qi, x) ->"
+        " pow(cast(qi as double) * qscale - cast(x as double), 2)),"
+        " 0D, (a, v) -> a + v) / size(q)"
+    )
+    return q.select(
+        "vec_id",
+        _r("qscale").alias("qscale"),
+        F.expr("aggregate(q, 0L, (a, v) -> a + cast(v as long))").alias("q_sum"),
+        F.expr("cast(array_max(q) as long)").alias("q_max"),
+        _r(mse).alias("recon_mse"),
+    )
+
+
 def q_token_regex(spark, sf_dir):
     return text.token_count_regex(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens_bpe"
@@ -1027,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_vocab_topk": q_vocab_topk,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
+        "s_quantize": q_quantize,
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
@@ -2280,6 +2301,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(pd.nw, 0)::BIGINT AS n_words,
                    round(pd.nlp, {_R}) AS neg_logprob
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """,
+        "s_quantize": f"""
+            WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127 AS qscale
+              FROM n
+            ),
+            q AS (
+              SELECT vec_id, v, qscale,
+                     CASE WHEN qscale > 0
+                          THEN list_transform(v, x -> floor(x / qscale + 0.5)::BIGINT)
+                          ELSE list_transform(v, x -> 0::BIGINT) END AS ql
+              FROM s
+            )
+            SELECT vec_id, round(qscale, {_R}) AS qscale,
+                   list_sum(ql)::BIGINT AS q_sum,
+                   list_max(ql)::BIGINT AS q_max,
+                   round(list_sum(list_transform(generate_series(1, len(v)),
+                         i -> pow(ql[i] * qscale - v[i], 2))) / len(v), {_R}) AS recon_mse
+            FROM q
         """,
         "t_line_dedup": f"""
             WITH p AS (SELECT doc_id, {_LINES_DUCK} AS text FROM documents),

@@ -239,3 +239,30 @@ def test_ann_max_bucket_splits_hot_bucket(spark):
     a = out.sort_values(["id_a", "rank"]).reset_index(drop=True)
     b = again.sort_values(["id_a", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_quantize_roundtrip_error_bound(emb):
+    """int8 quantization: values in [-127, 127], dequantization error
+    bounded by scale/2 elementwise, zero vectors stay zero."""
+    df, vecs = emb
+    q = S.quantize_embeddings(df)
+    back = S.dequantize_embeddings(q).toPandas().set_index("vec_id")
+    for vid in [0, 3, 50, 119]:
+        orig = vecs[vid].astype(np.float64)
+        scale = float(back.loc[vid, "qscale"])
+        qa = np.array(back.loc[vid, "q"])
+        deq = np.array(back.loc[vid, "embedding_deq"])
+        assert np.abs(qa).max() <= 127
+        assert scale == pytest.approx(np.abs(orig).max() / 127.0)
+        assert np.allclose(deq, qa * scale)
+        assert np.abs(deq - orig).max() <= scale / 2 + 1e-12
+
+
+def test_quantize_zero_vector(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[0.0, 0.0, 0.0]]})
+    )
+    r = S.quantize_embeddings(df).first()
+    assert r.qscale == 0.0 and list(r.q) == [0, 0, 0]

@@ -527,3 +527,49 @@ def random_projection(
         for row in R
     ]
     return df.withColumn(out, F.array(*comps))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec: str = "embedding",
+    q_out: str = "q",
+    scale_out: str = "qscale",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric integer quantization for embedding STORAGE/serving: per
+    vector, scale = max|x| / (2^(bits-1) - 1) and
+    q_i = floor(x_i / scale + 0.5) — 4x smaller than float32 at int8
+    with bounded error |dequant - x| <= scale/2.
+
+    floor(x + 0.5) is used instead of round(): explicit half-up is
+    bit-portable across engines (Spark/DuckDB round() disagree on
+    negative halves), so the DuckDB oracle replays quantization exactly.
+    Pure per-row JVM folds — map-only, pipelines with the scan at any
+    scale.  All-zero vectors quantize to zeros with scale 0.
+    """
+    require_cols(df, "quantize_embeddings", **{vec: "array_numeric"})
+    qmax = float((1 << (bits - 1)) - 1)
+    scale = F.expr(
+        f"array_max(transform({vec}, x -> abs(cast(x as double)))) / {qmax!r}"
+    )
+    d = df.withColumn(scale_out, scale)
+    q = F.expr(
+        f"CASE WHEN {scale_out} > 0D THEN "
+        f"transform({vec}, x -> cast(floor(cast(x as double) / {scale_out} + 0.5D) as int)) "
+        f"ELSE transform({vec}, x -> 0) END"
+    )
+    return d.withColumn(q_out, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q: str = "q",
+    scale: str = "qscale",
+    out: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x̂_i = q_i * scale."""
+    require_cols(df, "dequantize_embeddings", **{q: "array_numeric"})
+    return df.withColumn(
+        out,
+        F.expr(f"transform({q}, v -> cast(v as double) * {scale})"),
+    )
