@@ -459,6 +459,29 @@ def q_line_dedup(spark, sf_dir):
     return text.dedup_lines(d).select("doc_id", "text_dedup", "n_dropped")
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-containment join (J2 first-class): events attributed to
+    their session's [first_ts, last_ts] window via the bucketed
+    equi-join — every event must land back in exactly its own session,
+    and the oracle replays the naive BETWEEN join."""
+    from topo_descriptors_spark.operators.asof import interval_join
+
+    ev = _events(spark, sf_dir)
+    sess = W.sessionize(ev, gap_seconds=21600, entity="user_id", order="ts")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    ivals = (
+        sess.select("user_id", "session_id", epoch.alias("_e"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("_e").alias("s0"), F.max("_e").alias("s1"))
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"), ivals,
+        on="user_id", ts="ts", start="s0", end="s1",
+        bucket_seconds=86400.0,
+    )
+    return out.select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization (storage path): per-vector scale +
     floor-half-up codes; the gate compares scalar summaries (scale, code
@@ -1048,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "s_quantize": q_quantize,
+        "j_interval": q_interval_join,
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
@@ -2301,6 +2325,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(pd.nw, 0)::BIGINT AS n_words,
                    round(pd.nlp, {_R}) AS neg_logprob
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """,
+        "j_interval": """
+            WITH s AS (
+              SELECT event_id, user_id, ts,
+                (sum(CASE WHEN prev_t IS NULL OR epoch(ts) - prev_t > 21600 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                )::BIGINT AS session_id
+              FROM (
+                SELECT *, lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+                FROM events
+              )
+            ),
+            iv AS (
+              SELECT user_id, session_id, min(epoch(ts)) AS t0, max(epoch(ts)) AS t1
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT e.event_id, e.user_id, iv.session_id
+            FROM events e
+            JOIN iv ON e.user_id = iv.user_id
+                   AND epoch(e.ts) >= iv.t0 AND epoch(e.ts) <= iv.t1
         """,
         "s_quantize": f"""
             WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

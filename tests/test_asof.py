@@ -305,3 +305,62 @@ def test_fused_frame_features_equal_two_pass(spark):
     assert n_exchange <= 2, plan
     first_window = plan.index("Window")
     assert "Exchange" not in plan[:first_window].split("ResultQueryStage")[-1]
+
+
+def test_interval_join_containment_and_left(spark):
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "k": ["a", "a", "a", "b", "b"],
+                "t": [5.0, 50.0, 260.0, 10.0, 400.0],
+            }
+        )
+    )
+    # intervals: one spans a bucket boundary (W=100), one overlaps
+    # another, key b has one; t=400 matches nothing
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "iid": [10, 11, 20],
+                "lo": [0.0, 40.0, 0.0],
+                "hi": [60.0, 300.0, 20.0],
+            }
+        )
+    )
+    out = interval_join(
+        ev, iv, on="k", ts="t", start="lo", end="hi", bucket_seconds=100.0
+    ).toPandas()
+    got = sorted(zip(out.event_id, out.iid))
+    # e1(t=5): iv10 only; e2(t=50): BOTH iv10 and iv11 (overlap -> 2 rows);
+    # e3(t=260): iv11 via the bucket-2 replica; e4: iv20; e5: none (inner)
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 20)]
+
+    left = interval_join(
+        ev, iv, on="k", ts="t", start="lo", end="hi",
+        bucket_seconds=100.0, how="left",
+    ).toPandas()
+    assert len(left) == 6  # the 5 matches + e5 with NULL interval cols
+    e5 = left[left.event_id == 5]
+    assert len(e5) == 1 and pd.isna(e5.iloc[0]["iid"])
+
+
+def test_interval_join_reserved_names_raise(spark):
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "k": ["a"], "t": [1.0], "_ebucket": [0]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "lo": [0.0], "hi": [2.0]})
+    )
+    with pt.raises(ValueError, match="reserved"):
+        interval_join(ev, iv, on="k", ts="t", start="lo", end="hi")

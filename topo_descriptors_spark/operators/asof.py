@@ -317,3 +317,69 @@ def asof_with_frame_features(
     keep.append(F.col("_m.matched_ts").alias("matched_ts"))
     keep.extend(F.col(f"_m.{n}").alias(n) for n in names)
     return u.where(F.col("_sd") == 1).select(*keep)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: float = 86400.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join (J2 as a first-class operator): attach
+    to every event row the interval row of the same ``on`` key with
+    ``start <= ts <= end`` — event-in-session attribution, validity-
+    window lookups, slowly-changing-dimension reads.
+
+    Physical strategy — bucketed equi-join, never a range cross-product:
+    both sides map onto a time-bucket grid (width ``bucket_seconds``);
+    each interval is replicated into every bucket it overlaps
+    (``floor(start/W) .. floor(end/W)`` — bounded by interval length /
+    W + 1), events land in exactly one bucket, and the join is a plain
+    equi-join on ``(on, _ibucket)`` followed by the exact BETWEEN
+    filter.  Catalyst/AQE handle it like any hash join; pick
+    ``bucket_seconds`` near the median interval length so replication
+    stays O(1) per interval.  Timestamps and numeric axes both work
+    (NTZ-safe via axis_seconds).
+
+    ``how="inner"`` drops unmatched events; ``"left"`` keeps them with
+    NULL interval columns (one row per matching interval either way —
+    overlapping intervals produce multiple rows by SQL semantics).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: unsupported how={how!r}")
+    for c in ("_ebucket", "_ibucket", "_ets", "_is", "_ie"):
+        if c in events.columns or c in intervals.columns:
+            raise ValueError(f"interval_join: reserved column name {c!r} in input")
+    W = float(bucket_seconds)
+    e = events.withColumn("_ets", axis_seconds(events, ts)).withColumn(
+        "_ebucket", F.floor(F.col("_ets") / W).cast("long")
+    )
+    i = (
+        intervals.withColumn("_is", axis_seconds(intervals, start))
+        .withColumn("_ie", axis_seconds(intervals, end))
+        .withColumn(
+            "_ibucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_is") / W).cast("long"),
+                    F.floor(F.col("_ie") / W).cast("long"),
+                )
+            ),
+        )
+    )
+    cond = (
+        (e[on] == i[on])
+        & (e["_ebucket"] == i["_ibucket"])
+        & (e["_ets"] >= i["_is"])
+        & (e["_ets"] <= i["_ie"])
+    )
+    joined = e.join(i, cond, how)
+    ival_cols = [c for c in intervals.columns if c != on]
+    return joined.select(
+        *[e[c] for c in events.columns],
+        *[i[c] for c in ival_cols],
+    )
