@@ -17,9 +17,10 @@ forms, both timed (median of --repeats runs each; single runs swing
 * ``flagship_packed`` — the zero-shuffle packed plan
   (operators/packed.py): identical results straight from the tokens
   arrays, no explode/shuffle/sort/join.
-* ``flagship_real`` — the exploded plan over the REAL testdata
-  documents parquet with tokens derived from text on the fly
-  (scan + IO + JVM-side tokenize included in the number).
+* ``flagship_real`` / ``flagship_real_packed`` — the exploded and
+  zero-shuffle plans over the REAL testdata documents parquet with
+  tokens derived from text on the fly (scan + IO + JVM-side tokenize
+  included in the number).
 
 Throughput = sequences/sec (reported per form).  All flagship variants
 and the per-query suite are timed with INTERLEAVED repeats and
@@ -145,6 +146,20 @@ def flagship_real(spark, sf_dir: str):
     return _flagship_pipeline(real_documents_tok(spark, sf_dir))
 
 
+def flagship_real_packed(spark, sf_dir: str):
+    """The zero-shuffle packed plan over the real documents table:
+    scan + JVM tokenize + packed features + PIT gather, no explode/
+    shuffle/sort/join anywhere."""
+    from topo_descriptors_spark.operators import packed as PK
+
+    tok = real_documents_tok(spark, sf_dir)
+    q = PK.deterministic_query_positions(tok, 8)
+    return PK.packed_features_at(
+        q, [3, 9, 25], sigmas=[1.0], sx_radius_steps=5,
+        sx_height=0.0, sx_step_meters=1.0, keep_cols=("doc_key",),
+    )
+
+
 def flagship_packed(spark, n_docs: int):
     """The same north-star pipeline on the packed (zero-shuffle) path:
     features + PIT gather computed straight from the tokens arrays in
@@ -239,12 +254,15 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
     if with_real:
         real_docs = real_documents_tok(spark, sf_dir).count()
         _materialize(flagship_real(spark, sf_dir))
+        _materialize(flagship_real_packed(spark, sf_dir))
 
     # INTERLEAVED repeats (tokens, packed, real, tokens, ...) + medians:
     # sequential blocks fold minute-scale box drift into whichever
     # variant ran during the slow phase (the r1->r2 "regression" that
     # judge re-measurement disproved)
-    runs: dict[str, list[float]] = {"tokens": [], "packed": [], "real": []}
+    runs: dict[str, list[float]] = {
+        "tokens": [], "packed": [], "real": [], "real_packed": [],
+    }
     for _ in range(max(repeats, 1)):
         t0 = time.monotonic()
         _materialize(flagship_tokens(spark, n_docs))
@@ -256,6 +274,9 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
             t0 = time.monotonic()
             _materialize(flagship_real(spark, sf_dir))
             runs["real"].append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            _materialize(flagship_real_packed(spark, sf_dir))
+            runs["real_packed"].append(time.monotonic() - t0)
 
     def med(xs: list[float]) -> float:
         return sorted(xs)[len(xs) // 2] if xs else 0.0
@@ -263,12 +284,15 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
     flagship_sec = med(runs["tokens"])
     packed_sec = med(runs["packed"])
     real_sec = med(runs["real"])
+    real_packed_sec = med(runs["real_packed"])
 
     per_query = bench_queries(spark, sf_dir, repeats=repeats) if queries else {}
     per_query = {
         "flagship_tokens": round(flagship_sec, 3),
         "flagship_packed": round(packed_sec, 3),
-        **({"flagship_real": round(real_sec, 3)} if with_real else {}),
+        **({"flagship_real": round(real_sec, 3),
+            "flagship_real_packed": round(real_packed_sec, 3)}
+           if with_real else {}),
         **per_query,
     }
     total = round(sum(per_query.values()), 3)
@@ -286,6 +310,9 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
     if with_real and real_sec:
         out["flagship_real_docs"] = real_docs
         out["sequences_per_sec_real"] = round(real_docs / real_sec, 1)
+        out["sequences_per_sec_real_packed"] = round(
+            real_docs / real_packed_sec, 1
+        )
     return out
 
 
