@@ -84,3 +84,49 @@ def test_asof_matches_pandas_oracle(spark, strict, case):
     )
     expect = _pandas_oracle(state, queries, strict)
     assert got == expect
+
+
+@st.composite
+def interval_case(draw):
+    n_ev = draw(st.integers(1, 20))
+    n_iv = draw(st.integers(0, 10))
+    events = [
+        (i, draw(entities), float(draw(st.integers(0, 300))))
+        for i in range(n_ev)
+    ]
+    ivals = []
+    for j in range(n_iv):
+        lo = draw(st.integers(0, 300))
+        hi = lo + draw(st.integers(0, 150))  # includes zero-length
+        ivals.append((draw(entities), j, float(lo), float(hi)))
+    W = float(draw(st.sampled_from([1, 7, 50, 100, 500])))
+    return events, ivals, W
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(interval_case())
+def test_interval_join_matches_naive(spark, case):
+    """Bucketed interval join == naive BETWEEN join for every bucket
+    width, including widths smaller and larger than every interval."""
+    from topo_descriptors_spark.operators.asof import interval_join
+
+    events, ivals, W = case
+    ev = spark.createDataFrame(
+        pd.DataFrame(events, columns=["event_id", "k", "t"])
+    )
+    iv = (
+        spark.createDataFrame(pd.DataFrame(ivals, columns=["k", "iid", "lo", "hi"]))
+        if ivals
+        else spark.createDataFrame([], "k string, iid bigint, lo double, hi double")
+    )
+    got = interval_join(
+        ev, iv, on="k", ts="t", start="lo", end="hi", bucket_seconds=W
+    ).toPandas()
+    expect = {
+        (e_id, j)
+        for (e_id, ek, et) in events
+        for (ik, j, lo, hi) in ivals
+        if ek == ik and lo <= et <= hi
+    }
+    assert set(zip(got.event_id, got.iid)) == expect

@@ -373,3 +373,56 @@ def test_dedup_lines_drops_boilerplate_keeps_order(spark):
     assert out.loc[1, "n_dropped"] == 1
     assert out.loc[2, "text_dedup"] == "other content"
     assert out.loc[3, "text_dedup"] == "" and out.loc[3, "n_dropped"] == 1
+
+
+def test_connected_components_random_graphs_both_methods(spark):
+    """Randomized graphs vs a pure-python union-find oracle: min-label
+    and large-star/small-star must both produce min-reachable-id labels
+    on every shape (cliques, chains, forests, singletons)."""
+    import numpy as np
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(17)
+    for trial in range(4):
+        n = int(rng.randint(5, 40))
+        n_edges = int(rng.randint(0, n * 2))
+        nodes = list(range(n))
+        edges = [
+            (int(rng.randint(0, n)), int(rng.randint(0, n)))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find oracle
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots = {}
+        for v in nodes:
+            roots.setdefault(find(v), []).append(v)
+        expect = {}
+        for members in roots.values():
+            m = min(members)
+            for v in members:
+                expect[v] = m
+        ndf = spark.createDataFrame(pd.DataFrame({"doc_id": nodes}))
+        pdf = (
+            spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+            if edges
+            else spark.createDataFrame([], "id_a bigint, id_b bigint")
+        )
+        for method in ("label", "star"):
+            got = (
+                connected_components(ndf, pdf, method=method,
+                                     max_iterations=50)
+                .toPandas().set_index("doc_id")["component"].to_dict()
+            )
+            assert got == expect, f"trial={trial} method={method}"
