@@ -213,8 +213,26 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "d_ngram_jaccard",
         "d_simhash",
         "s_ann_topk",
+        # round-3 operators (VERDICT r3 #6): without bench rows a
+        # regression in them is invisible round-over-round
+        "d_decontaminate",
+        "t_line_dedup",
+        "j_interval",
+        "t_unigram_logprob",
     ]
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # round 4 halved the GATE inputs of the pair-join dedup rows (gate
+    # cost only); the bench keeps measuring the FULL documents table so
+    # BENCH_r{N} numbers stay comparable round-over-round
+    from topo_descriptors_spark.operators import dedup as _dd
+    from topo_descriptors_spark.sources.io import read_table as _rt
+
+    qs["d_minhash_pairs"] = lambda s, d: _dd.minhash_dedup_pairs(
+        _rt(s, d, "documents"), num_perms=16, bands=16, threshold=0.4
+    )
+    qs["d_ngram_jaccard"] = lambda s, d: _dd.ngram_jaccard_pairs(
+        _rt(s, d, "documents"), shingle_n=3, threshold=0.12, max_df=100
+    )
     for name in names:  # warm-up: codegen classes + Python/Arrow workers
         _materialize(qs[name](spark, sf_dir))
     times: dict[str, list[float]] = {n: [] for n in names}

@@ -266,3 +266,41 @@ def test_quantize_zero_vector(spark):
     )
     r = S.quantize_embeddings(df).first()
     assert r.qscale == 0.0 and list(r.q) == [0, 0, 0]
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """A zero vector has no defined cosine (0/0 = NaN), and Spark orders
+    NaN ABOVE every number — so unguarded, `cosine >= t` admits spurious
+    pairs and top-k ranks NaN first (ADVICE r3).  Every cosine path must
+    exclude zero-norm rows."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+        embedding_cosine_pairs_exact,
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [[1.0, 0.0], [1.0, 0.1], [0.0, 0.0]],
+            }
+        )
+    )
+    pairs = embedding_cosine_pairs_exact(df, threshold=0.5).toPandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}  # no NaN pairs
+    assert not pairs.cosine.isna().any()
+
+    topk = cosine_topk(df, k=2).toPandas()
+    assert 3 not in set(topk.id_a) and 3 not in set(topk.id_b)
+    assert not topk.cosine.isna().any()
+
+    lsh = embedding_near_dup_pairs(df, threshold=0.5, n_planes=2, dim=2).toPandas()
+    assert 3 not in set(lsh.id_a) and 3 not in set(lsh.id_b)
+
+    ann = ann_topk_lsh(df, k=2, n_planes=2, dim=2).toPandas()
+    assert 3 not in set(ann.id_a) and 3 not in set(ann.id_b)
+    assert not ann.cosine.isna().any()

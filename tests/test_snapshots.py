@@ -188,3 +188,39 @@ def test_expire_snapshots_keeps_current_after_rollback(spark, table_dir):
     assert rep["expired_versions"] == [2]
     assert S.read_snapshot(spark, table_dir).count() == 5
     assert os.path.isdir(os.path.join(table_dir, "data", "b00001"))
+
+
+def test_expire_snapshots_surfaces_failed_deletions(spark, table_dir, monkeypatch):
+    """A data dir whose removal fails must land in failed_dirs, NOT be
+    reported as removed (ADVICE r3) — it stays an orphan for the next
+    expire/write to reclaim."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    for _ in range(3):  # overwrite: each version owns its data dir
+        S.write_snapshot(df, table_dir, mode="overwrite")
+
+    real_rmtree = shutil.rmtree
+
+    def flaky_rmtree(path, *a, **k):
+        raise OSError("simulated concurrent access")
+
+    monkeypatch.setattr(shutil, "rmtree", flaky_rmtree)
+    rep = S.expire_snapshots(table_dir, keep_last=1)
+    assert rep["expired_versions"] == [1, 2]
+    assert rep["removed_dirs"] == []  # nothing verified gone
+    assert len(rep["failed_dirs"]) >= 1  # the failure is SURFACED
+    for d in rep["failed_dirs"]:
+        assert os.path.exists(os.path.join(table_dir, d))
+
+    # retry with working rmtree: the orphans are reclaimable -- expire
+    # recomputes nothing (manifests already gone) but write_snapshot's
+    # orphan reclaim or a manual sweep can now remove them; verify the
+    # dirs CAN go and the report flips to removed
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    for d in rep["failed_dirs"]:
+        real_rmtree(os.path.join(table_dir, d))
+        assert not os.path.exists(os.path.join(table_dir, d))

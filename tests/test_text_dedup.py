@@ -426,3 +426,139 @@ def test_connected_components_random_graphs_both_methods(spark):
                 .toPandas().set_index("doc_id")["component"].to_dict()
             )
             assert got == expect, f"trial={trial} method={method}"
+
+
+def test_dedup_lines_null_text_survives_and_passthrough(spark):
+    """Every document must come back — a NULL text doc yields NULL
+    text_dedup and n_dropped=0 (the round-3 plan silently dropped it via
+    a null-unsafe join); non-key input columns pass through."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["dup\nkeep me", "dup", None],
+                "source": ["s1", "s2", "s3"],
+            }
+        )
+    )
+    out = dedup_lines(docs).toPandas().set_index("doc_id").sort_index()
+    assert len(out) == 3  # null-text doc survives
+    assert out.loc[1, "text_dedup"] == "keep me"
+    assert out.loc[1, "n_dropped"] == 1
+    assert out.loc[2, "text_dedup"] == "" and out.loc[2, "n_dropped"] == 1
+    assert pd.isna(out.loc[3, "text_dedup"]) and out.loc[3, "n_dropped"] == 0
+    assert list(out["source"]) == ["s1", "s2", "s3"]  # passthrough
+
+
+def test_dedup_lines_corpus_side_never_shuffles(spark):
+    """Plan-shape pin for the broadcast stop-line plan (VERDICT r3 #2):
+    the corpus side must reach the output with ZERO exchanges — no
+    hashpartitioning on the document key (the old reassembly groupBy),
+    no join shuffle on the skewed line key; the only exchanges allowed
+    are the vocab-sized line-count aggregation and the broadcast of the
+    one-row stop set, both on the tiny side of a BroadcastNestedLoop."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", "a\nc"]})
+    )
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan  # no doc-side shuffle
+    # the ONLY repartitioning exchange is the line-count agg on _line
+    import re
+
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(parts) <= {"_line"}, parts
+
+
+def test_dedup_lines_stop_set_guard_raises(spark):
+    """Boilerplate diversity above max_stop_lines must fail loudly, not
+    OOM the driver broadcast (engine guard-and-raise convention)."""
+    import pandas as pd
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from topo_descriptors_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["x\ny", "x\ny", "z\nkeep", "z"],
+            }
+        )
+    )
+    # three stop lines (x, y, z) > cap of 2 -> raise at execution
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        dedup_lines(docs, max_stop_lines=2).collect()
+    assert "max_stop_lines" in str(ei.value)
+    # cap not exceeded -> fine
+    out = dedup_lines(docs, max_stop_lines=3).toPandas()
+    assert len(out) == 4
+
+
+def test_unigram_logprob_capped_equals_uncapped_when_cap_not_binding(spark):
+    """min_count=1 / huge vocab_size must reproduce the exact uncapped
+    model (same join semantics, just a bounded broadcast side)."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a a b", "b c", ""]})
+    )
+    base = (
+        unigram_logprob(docs).toPandas()
+        .set_index("doc_id").sort_index()
+    )
+    for kwargs in (
+        {"min_count": 1, "broadcast_vocab": True},
+        {"vocab_size": 100},
+        {"vocab_size": 100, "min_count": 1, "broadcast_vocab": False},
+    ):
+        got = (
+            unigram_logprob(docs, **kwargs).toPandas()
+            .set_index("doc_id").sort_index()
+        )
+        pd.testing.assert_frame_equal(got, base)
+
+
+def test_unigram_logprob_min_count_floors_rare_words(spark):
+    """Capped model: out-of-vocab words score as the smoothing floor
+    -ln(smoothing_count / total) with total over ALL words (in-vocab
+    probabilities unchanged) — the CCNet-style vocabulary cap."""
+    import math
+
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+    )
+    # corpus: a=2, b=2, c=1, total=5; min_count=2 drops c -> OOV floor 1/5
+    out = (
+        unigram_logprob(docs, min_count=2).toPandas()
+        .set_index("doc_id").sort_index()
+    )
+    exp1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out.loc[1, "neg_logprob"] == pt.approx(exp1)
+    assert out.loc[2, "neg_logprob"] == pt.approx(exp2)
+    # vocab_size=1 keeps only the top word (a by count tie -> word asc);
+    # b and c hit the floor
+    out2 = (
+        unigram_logprob(docs, vocab_size=1, smoothing_count=1.0)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    exp2b = -(math.log(1 / 5) + math.log(1 / 5)) / 2
+    assert out2.loc[2, "neg_logprob"] == pt.approx(exp2b)

@@ -328,6 +328,7 @@ def interval_join(
     end: str = "end",
     bucket_seconds: float = 86400.0,
     how: str = "inner",
+    max_buckets_per_interval: int | None = 1000,
 ) -> DataFrame:
     """Interval-containment join (J2 as a first-class operator): attach
     to every event row the interval row of the same ``on`` key with
@@ -348,28 +349,59 @@ def interval_join(
     ``how="inner"`` drops unmatched events; ``"left"`` keeps them with
     NULL interval columns (one row per matching interval either way —
     overlapping intervals produce multiple rows by SQL semantics).
+
+    **Replication guard.**  One open-ended interval (an ``end`` set to a
+    year-9999 sentinel, a corrupt row) would silently explode into
+    ~10⁸ bucket replicas and dominate the job.  Any interval spanning
+    more than ``max_buckets_per_interval`` buckets RAISES at execution
+    time (the engine's guard-and-raise convention — cosine exact,
+    LSH/ANN caps, CC budgets); widen ``bucket_seconds``, pre-clamp
+    sentinel end dates to the data's horizon, or pass ``None`` to
+    disable.  Interval-side column names (other than ``on``) must not
+    collide with event columns — the join would otherwise return an
+    ambiguous duplicate-named schema, so collisions raise up front.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join: unsupported how={how!r}")
     for c in ("_ebucket", "_ibucket", "_ets", "_is", "_ie"):
         if c in events.columns or c in intervals.columns:
             raise ValueError(f"interval_join: reserved column name {c!r} in input")
+    clash = (set(events.columns) & set(intervals.columns)) - {on}
+    if clash:
+        raise ValueError(
+            "interval_join: interval columns collide with event columns "
+            f"{sorted(clash)} — rename or drop them on one side (the output "
+            "keeps all event columns plus all non-key interval columns)"
+        )
     W = float(bucket_seconds)
     e = events.withColumn("_ets", axis_seconds(events, ts)).withColumn(
         "_ebucket", F.floor(F.col("_ets") / W).cast("long")
     )
+    b0 = F.floor(F.col("_is") / W).cast("long")
+    b1 = F.floor(F.col("_ie") / W).cast("long")
+    seq = F.sequence(b0, b1)
+    if max_buckets_per_interval is not None:
+        lim = int(max_buckets_per_interval)
+        seq = F.when(b1 - b0 < F.lit(lim), seq).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_join: an interval spans more than "
+                        f"max_buckets_per_interval={lim} buckets ("
+                    ),
+                    (b1 - b0 + 1).cast("string"),
+                    F.lit(
+                        f") at bucket_seconds={W:g} — open-ended/sentinel "
+                        "end date? clamp it, widen bucket_seconds, or pass "
+                        "max_buckets_per_interval=None"
+                    ),
+                )
+            ).cast("array<long>")
+        )
     i = (
         intervals.withColumn("_is", axis_seconds(intervals, start))
         .withColumn("_ie", axis_seconds(intervals, end))
-        .withColumn(
-            "_ibucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("_is") / W).cast("long"),
-                    F.floor(F.col("_ie") / W).cast("long"),
-                )
-            ),
-        )
+        .withColumn("_ibucket", F.explode(seq))
     )
     cond = (
         (e[on] == i[on])

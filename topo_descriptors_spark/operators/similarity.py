@@ -72,10 +72,13 @@ def cosine_topk(
                 "use ann_topk_blocked/ivf_topk at scale, or pass "
                 "max_rows=None to override"
             )
-    a = with_norm(df.select(id_col, vec), vec).select(
+    # zero-norm vectors have no defined cosine (0/0 = NaN, and Spark
+    # orders NaN ABOVE every number, so a NaN would win the top-k) —
+    # they are excluded from both sides up front
+    a = with_norm(df.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("va"), F.col("_norm").alias("na")
     )
-    b = with_norm(df.select(id_col, vec), vec).select(
+    b = with_norm(df.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
         F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), F.col("_norm").alias("nb")
     )
     pairs = a.join(b, F.col("id_a") != F.col("id_b"))
@@ -126,11 +129,14 @@ def embedding_cosine_pairs_exact(
                 "embedding_near_dup_pairs at scale, or pass "
                 "max_rows=None to override"
             )
-    a = with_norm(df.select(id_col, vec), vec).select(
+    # zero-norm vectors yield cosine = 0/0 = NaN, which Spark orders
+    # GREATER than any number — `cosine >= threshold` would admit every
+    # NaN pair; exclude zero-norm rows from both sides instead
+    a = with_norm(df.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
         F.col("_norm").alias("na"),
     )
-    b = with_norm(df.select(id_col, vec), vec).select(
+    b = with_norm(df.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
         F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
         F.col("_norm").alias("nb"),
     )
@@ -183,7 +189,11 @@ def ann_topk_lsh(
     if dim is None:
         dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes)
-    withb = with_norm(df.select(id_col, vec), vec).withColumn(
+    # zero-norm vectors have no defined cosine (NaN, ranked above every
+    # number by Spark) — excluded from queries and candidates alike
+    withb = with_norm(df.select(id_col, vec), vec).where(
+        F.col("_norm") > 0
+    ).withColumn(
         "_bucket", lsh_bucket_col(vec, planes)
     )
     a = withb.select(
@@ -377,6 +387,10 @@ def ivf_topk(
     )
 
     require_cols(df, "ivf_topk", **{id_col: "atomic", vec: "array_numeric"})
+    # zero-norm vectors have no defined cosine (their numpy
+    # normalization would emit NaN rows) — excluded up front, matching
+    # cosine_topk / the LSH paths
+    df = df.where(norm_col(vec) > 0)
     n_fit = max(n_clusters, sample_limit) if lloyd_steps > 0 else n_clusters
     cent_rows = (
         df.select(id_col, vec).orderBy(id_col).limit(n_fit).collect()
@@ -480,8 +494,12 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec).first()[0])
     planes = hyperplanes(dim, n_planes)
-    withb = with_norm(df.select(id_col, vec), vec).withColumn(
-        "_bucket", lsh_bucket_col(vec, planes)
+    # zero-norm vectors → NaN cosine, which Spark orders above every
+    # number — `>= threshold` would admit them; drop them up front
+    withb = (
+        with_norm(df.select(id_col, vec), vec)
+        .where(F.col("_norm") > 0)
+        .withColumn("_bucket", lsh_bucket_col(vec, planes))
     )
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("va"),

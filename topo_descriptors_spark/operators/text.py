@@ -294,7 +294,10 @@ def unigram_logprob(
     text: str = "text",
     id_col: str = "doc_id",
     out: str = "neg_logprob",
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | str = "auto",
+    min_count: int = 1,
+    vocab_size: int | None = None,
+    smoothing_count: float = 1.0,
 ) -> DataFrame:
     """Unigram language-model quality proxy (CCNet-style): per doc, the
     mean negative log-probability of its words under the CORPUS unigram
@@ -304,13 +307,35 @@ def unigram_logprob(
 
     Two linear passes over the exploded words: (1) corpus frequencies
     (map-side partial agg; shuffle carries the vocabulary only), (2) a
-    words->freq equi-join (vocab broadcast when it fits — Zipf says a
-    100-TB corpus still has a broadcastable head; set
-    ``broadcast_vocab=False`` to let AQE pick a shuffle join for huge
-    vocabularies) and a per-doc mean.  Docs with no words return NULL.
+    words->freq equi-join and a per-doc mean.  Docs with no words
+    return NULL.
+
+    **Vocabulary bounding (the 100-TB safety valve).**  The frequency
+    table of a web corpus is NOT broadcastable by default: Zipf's head
+    is tiny, but the distinct-word tail (typos, hashes, garbage) grows
+    with corpus size — 10⁹+ rows at 100 TB — so broadcasting the raw
+    vocabulary OOMs the driver.  The model is therefore capped the way
+    CCNet caps its LM vocabulary: words below ``min_count`` and/or
+    outside the ``vocab_size`` most frequent (ties break on word
+    ascending — deterministic) fall OUT of the vocab, and every
+    out-of-vocab word scores as a rare-word floor with pseudo-count
+    ``smoothing_count`` (``-ln(smoothing_count / total)``, total over
+    ALL words, so in-vocab probabilities are unchanged).  ``min_count=1``
+    with ``vocab_size=None`` keeps the exact uncapped model.
+
+    ``broadcast_vocab="auto"`` broadcasts ONLY when a cap is set
+    (``min_count > 1`` or ``vocab_size``) — a capped vocab is
+    driver-bounded by construction; the uncapped model falls back to a
+    shuffle join that AQE may still convert.  Pass ``True``/``False``
+    to force either side.
     """
     require_cols(df, "unigram_logprob",
                  **{id_col: "atomic", text: "string"})
+    capped = int(min_count) > 1 or vocab_size is not None
+    if broadcast_vocab == "auto":
+        do_broadcast = capped
+    else:
+        do_broadcast = bool(broadcast_vocab)
     w = (
         with_words(df.select(id_col, text), text, "_uw")
         .select(id_col, F.explode_outer("_uw").alias("_word"))
@@ -318,12 +343,29 @@ def unigram_logprob(
         .select(id_col, F.lower(F.col("_word")).alias("_word"))
     )
     freq = w.groupBy("_word").agg(F.count(F.lit(1)).alias("_cnt"))
+    # total mass over ALL words (before any cap) — capping changes which
+    # words hit the OOV floor, never the in-vocab probabilities
     total = freq.agg(F.sum("_cnt").cast("double").alias("_tot"))
-    freq = freq.crossJoin(F.broadcast(total))
-    if broadcast_vocab:
+    if int(min_count) > 1:
+        freq = freq.where(F.col("_cnt") >= F.lit(int(min_count)))
+    if vocab_size is not None:
+        freq = (
+            freq.orderBy(F.col("_cnt").desc(), F.col("_word").asc())
+            .limit(int(vocab_size))
+        )
+    if do_broadcast:
         freq = F.broadcast(freq)
-    scored = w.join(freq, "_word").withColumn(
-        "_lp", -F.log(F.col("_cnt") / F.col("_tot"))
+    join_how = "left" if capped else "inner"
+    scored = (
+        w.join(freq, "_word", join_how)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            -F.log(
+                F.coalesce(F.col("_cnt"), F.lit(float(smoothing_count)))
+                / F.col("_tot")
+            ),
+        )
     )
     per_doc = scored.groupBy(id_col).agg(
         F.avg("_lp").alias(out), F.count(F.lit(1)).alias("n_words")
@@ -346,39 +388,93 @@ def dedup_lines(
     max_df: int = 1,
     sep: str = "\n",
     out: str = "text_dedup",
+    max_stop_lines: int | None = 10_000_000,
 ) -> DataFrame:
     """Corpus-level line deduplication (the C4/RefinedWeb boilerplate
     rule): drop every line whose corpus-wide occurrence count exceeds
     ``max_df`` (default 1 — any line appearing in more than one place
-    is boilerplate: nav menus, cookie banners, signatures), then
-    reassemble each document with its surviving lines in original order.
+    is boilerplate: nav menus, cookie banners, signatures), keeping
+    each document's surviving lines in original order.
 
-    Plan: posexplode lines (linear) → corpus line-count aggregation
-    (map-side partial agg; the shuffle carries distinct lines) →
-    count join back (the count side has ONE row per line, so the join
-    key skew IS the boilerplate we drop — no salting needed) → per-doc
-    ordered reassembly via array_sort(collect_list(struct(pos, line)))
-    (bounded by document size, not corpus size).
+    **Broadcast stop-line plan — zero corpus-wide shuffles.**  The old
+    plan (explode → count-join on ``_line`` → groupBy(doc) reassembly)
+    shuffled the whole corpus twice, with the join key skewed on
+    exactly the boilerplate being dropped (10⁹ copies of one cookie
+    banner on one reducer).  This plan never shuffles a document:
+
+    1. count lines — explode is linear and pipelines with the scan; the
+       groupBy gets map-side partial aggregation, so the shuffle
+       carries (distinct line, count) pairs — the line VOCABULARY, not
+       the corpus;
+    2. filter to the STOP set (``count > max_df``) — small by
+       construction (only repeated boilerplate survives) — and collapse
+       it to a single-row array via ``collect_set``;
+    3. broadcast that one row onto every document (BroadcastNestedLoop
+       with a 1-row build side = a map stage) and filter each doc's
+       split-line array IN PLACE — no reassembly groupBy, docs never
+       leave their input partitions, output order is input order.
+
+    Per-row cost is O(lines_per_doc × |stop set|) string compares
+    (``array_contains`` is linear); if the stop set is large and lines
+    are long, hashing both sides (xxhash64) shrinks compares to 8-byte
+    ints at 2⁻⁶⁴ collision risk — not done here to keep the rule
+    exactly the naive C4 semantics.  ``max_stop_lines`` is the
+    guard-and-raise bound on the broadcast side (engine convention):
+    the job fails loudly if boilerplate diversity exceeds it, instead
+    of silently OOMing the driver; ``None`` disables.
+
+    Every document survives: NULL ``text`` yields NULL ``text_dedup``
+    and ``n_dropped = 0`` (the old plan silently dropped such docs via
+    a null-unsafe join); a doc whose every line is boilerplate yields
+    ``''``.  All other input columns pass through unchanged.
     """
     require_cols(df, "dedup_lines", **{id_col: "atomic", text: "string"})
-    lines = df.select(
-        id_col, F.posexplode_outer(F.split(F.col(text), F.lit(sep), -1))
-        .alias("_pos", "_line")
+    for c in ("_larr", "_stop", "_stop_n", "_kept"):
+        if c in df.columns:
+            raise ValueError(f"dedup_lines: reserved column name {c!r} in input")
+    arr = F.split(F.col(text), F.lit(sep), -1)
+    lines = (
+        df.select(F.explode_outer(arr).alias("_line"))
+        .where(F.col("_line").isNotNull())
     )
     counts = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_df"))
-    joined = lines.join(counts, "_line")
-    kept_struct = F.when(
-        F.col("_df") <= F.lit(int(max_df)),
-        F.struct(F.col("_pos"), F.col("_line")),
+    stop = counts.where(F.col("_df") > F.lit(int(max_df)))
+    stop_agg = stop.agg(
+        F.collect_set("_line").alias("_stop"),
+        F.count(F.lit(1)).alias("_stop_n"),
     )
-    return joined.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["_line"],
+    d = df.withColumn("_larr", arr).crossJoin(F.broadcast(stop_agg))
+    if max_stop_lines is not None:
+        lim = int(max_stop_lines)
+        d = d.withColumn(
+            "_stop",
+            F.when(F.col("_stop_n") <= F.lit(lim), F.col("_stop")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dedup_lines: stop-line set exceeds "
+                            f"max_stop_lines={lim} ("
+                        ),
+                        F.col("_stop_n").cast("string"),
+                        F.lit(
+                            " lines) — boilerplate diversity too high to "
+                            "broadcast; raise max_stop_lines or lower max_df"
+                        ),
+                    )
+                ).cast(d.schema["_stop"].dataType)
             ),
-            sep,
-        ).alias(out),
-        F.sum((F.col("_df") > F.lit(int(max_df))).cast("long"))
-        .alias("n_dropped"),
+        )
+    kept = F.filter(
+        F.col("_larr"), lambda line: ~F.array_contains(F.col("_stop"), line)
+    )
+    d = d.withColumn("_kept", kept)
+    return (
+        d.withColumn(out, F.array_join(F.col("_kept"), sep))
+        .withColumn(
+            "n_dropped",
+            F.coalesce(
+                (F.size("_larr") - F.size("_kept")).cast("long"), F.lit(0)
+            ),
+        )
+        .drop("_larr", "_stop", "_stop_n", "_kept")
     )

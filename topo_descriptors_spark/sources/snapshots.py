@@ -227,7 +227,12 @@ def expire_snapshots(
     would go without deleting.
 
     Returns {"expired_versions": [...], "removed_dirs": [...],
-    "kept_versions": [...]}.
+    "kept_versions": [...], "failed_dirs": [...]} — ``removed_dirs``
+    reports only directories VERIFIED gone after deletion; a dir whose
+    removal failed (permissions, concurrent writer) lands in
+    ``failed_dirs`` instead of being silently reported as removed (it
+    stays an orphan that the next ``write_snapshot`` / ``expire`` can
+    reclaim).
     """
     import shutil
 
@@ -250,13 +255,24 @@ def expire_snapshots(
         }
         - reachable
     )
+    removed: list[str] = []
+    failed: list[str] = []
     if not dry_run:
         for v in expired:  # manifests first: crash leaves only orphans
             os.remove(_manifest_path(table_dir, v))
         for d in doomed_dirs:
-            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+            p = os.path.join(table_dir, d)
+            try:
+                shutil.rmtree(p)
+            except OSError:
+                pass
+            # re-check existence: report as removed only what is GONE
+            (failed if os.path.exists(p) else removed).append(d)
+    else:
+        removed = doomed_dirs
     return {
         "expired_versions": expired,
-        "removed_dirs": doomed_dirs,
+        "removed_dirs": removed,
         "kept_versions": sorted(keep),
+        "failed_dirs": failed,
     }
