@@ -475,6 +475,30 @@ def q_line_dedup(spark, sf_dir):
     return text.dedup_lines(d).select("doc_id", "text_dedup", "n_dropped")
 
 
+def q_decayed(spark, sf_dir):
+    """Exponentially time-decayed sum/count per user (half-life 1 day,
+    trailing-50-row frame, event_id tiebreak for deterministic tied
+    timestamps) — the leak-free feature-store decayed-activity
+    aggregate; the oracle replays the identical fold over an
+    array_agg'd window frame."""
+    out = W.decayed_features(
+        _events(spark, sf_dir), half_life_seconds=86400.0,
+        entity="user_id", order="ts", value="value",
+        lookback_rows=50, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        _r("decayed_sum").alias("decayed_sum"),
+        _r("decayed_count").alias("decayed_count"),
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf, round-before-rank,
+    ties to word ascending)."""
+    return text.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def q_interval_join(spark, sf_dir):
     """Interval-containment join (J2 first-class): events attributed to
     their session's [first_ts, last_ts] window via the bucketed
@@ -1148,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_gradient_2d": q_gradient_2d,
         # -- (b) new or changed in round 4 --
         "w_dedup_stream": q_dedup_stream,
+        "w_decayed": q_decayed,
+        "t_tfidf": q_tfidf,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1180,9 +1206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_sample_mix": q_sample_mix,
         "p_pack_cumsum": q_pack_cumsum,
         "p_pack_greedy": q_pack_greedy,
+        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "p_resample": q_resample,
         "f_json_extract": q_json_extract,
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "w_sessionize_stream": q_sessionize_stream,
         "s_rand_proj": q_rand_proj,
         "a_rank_ops": q_rank_ops,
@@ -2406,6 +2432,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(pd.nw, 0)::BIGINT AS n_words,
                    round(pd.nlp, {_R}) AS neg_logprob
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """,
+        "w_decayed": f"""
+            WITH h AS (
+              SELECT event_id, user_id, epoch(ts) AS t, value,
+                     array_agg({{'t': epoch(ts), 'v': value}}) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW
+                     ) AS hist
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   round(list_sum(list_transform(hist,
+                         s -> s.v * pow(0.5, (t - s.t) / 86400.0))), {_R})
+                     AS decayed_sum,
+                   round(list_sum(list_transform(hist,
+                         s -> pow(0.5, (t - s.t) / 86400.0))), {_R})
+                     AS decayed_count
+            FROM h
+        """,
+        "t_tfidf": f"""
+            WITH w AS (SELECT doc_id, lower(unnest({_DW})) AS word FROM documents),
+            tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+            dfq AS (SELECT word, count(*) AS df_ FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.word, tf.tf,
+                     round(tf.tf * (ln((nd + 1) / (df_ + 1)) + 1), {_R}) AS score
+              FROM tf JOIN dfq USING (word) CROSS JOIN n
+            )
+            SELECT doc_id, word, tf, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, word ASC
+              ) AS rank FROM s
+            ) WHERE rank <= 3
         """,
         "j_interval": """
             WITH s AS (

@@ -562,3 +562,38 @@ def test_unigram_logprob_min_count_floors_rare_words(spark):
     )
     exp2b = -(math.log(1 / 5) + math.log(1 / 5)) / 2
     assert out2.loc[2, "neg_logprob"] == pt.approx(exp2b)
+
+
+def test_tfidf_topk_hand_calc(spark):
+    """TF-IDF against hand math: smoothed idf ln((N+1)/(df+1))+1,
+    round-before-rank, ties on word ascending."""
+    import math
+
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["apple apple banana", "banana cherry", ""],
+            }
+        )
+    )
+    out = tfidf_topk(docs, k=2).toPandas()
+    # N=3; df: apple 1, banana 2, cherry 1
+    idf1 = math.log(4 / 2) + 1
+    idf2 = math.log(4 / 3) + 1
+    d1 = out[out.doc_id == 1].set_index("word")
+    assert d1.loc["apple", "tf"] == 2
+    assert d1.loc["apple", "score"] == pt.approx(round(2 * idf1, 6))
+    assert d1.loc["apple", "rank"] == 1  # 2*idf1 > 1*idf2
+    assert d1.loc["banana", "rank"] == 2
+    d2 = out[out.doc_id == 2].set_index("word")
+    # banana (idf2) vs cherry (idf1): cherry rarer -> higher score
+    assert d2.loc["cherry", "rank"] == 1
+    assert d2.loc["banana", "score"] == pt.approx(round(idf2, 6))
+    # empty doc produces no rows
+    assert 3 not in set(out.doc_id)

@@ -340,3 +340,86 @@ def test_sessionize_over_date_axis(spark):
         df, gap_seconds=7 * 86400, entity="entity_id", order="d"
     ).toPandas().sort_values("d")
     assert out["session_id"].tolist() == [0, 0, 1, 1]
+
+
+def test_decayed_features_hand_calc_and_no_leakage(spark):
+    """Decayed sum/count against a hand computation; strictly
+    backward-looking (the last row's value never affects earlier rows);
+    NULL values contribute nothing; lookback truncates the tail."""
+    import math
+
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.window import decayed_features
+
+    hl = 3600.0
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "entity_id": ["u"] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00",
+                 "2024-01-01 02:00", "2024-01-01 03:00"]
+            ),
+            "value": [10.0, 20.0, None, 40.0],
+        }
+    )
+    out = (
+        decayed_features(
+            spark.createDataFrame(pdf), half_life_seconds=hl,
+            lookback_rows=100, tiebreak="event_id",
+        )
+        .toPandas().set_index("event_id").sort_index()
+    )
+    # row2: 20 + 10*0.5^1 = 25; counts 1 + 0.5
+    assert out.loc[2, "decayed_sum"] == pt.approx(25.0)
+    assert out.loc[2, "decayed_count"] == pt.approx(1.5)
+    # row3 (NULL value): history only — no self contribution
+    assert out.loc[3, "decayed_sum"] == pt.approx(20 * 0.5 + 10 * 0.25)
+    assert out.loc[3, "decayed_count"] == pt.approx(0.5 + 0.25)
+    # row1 unaffected by anything later (leak-free)
+    assert out.loc[1, "decayed_sum"] == pt.approx(10.0)
+    # lookback_rows=2 drops row1 from row4's frame (and the NULL row3
+    # contributes nothing): 40 + 0*0.5 = 40
+    out2 = (
+        decayed_features(
+            spark.createDataFrame(pdf), half_life_seconds=hl,
+            lookback_rows=2, tiebreak="event_id",
+        )
+        .toPandas().set_index("event_id").sort_index()
+    )
+    assert out2.loc[4, "decayed_sum"] == pt.approx(40.0)
+    assert out2.loc[4, "decayed_count"] == pt.approx(1.0)
+    # math sanity: half-life means exactly x0.5 per hl seconds
+    assert math.isclose(
+        out.loc[4, "decayed_sum"],
+        40 + 20 * 0.5 ** 2 + 10 * 0.5 ** 3,
+    )
+
+
+def test_decayed_features_single_window_pass(spark):
+    """The decayed aggregates must share ONE WindowExec (one sort) —
+    no extra exchange beyond the canonical entity partition."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.window import decayed_features
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "entity_id": ["a"] * 5 + ["b"] * 5,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(10), unit="h"),
+            "value": [float(i) for i in range(10)],
+        }
+    )
+    out = decayed_features(
+        spark.createDataFrame(pdf), 3600.0, tiebreak="event_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    import re
+
+    n_exchange = len(re.findall(r"^[\s+:*-]*Exchange\b", plan, re.M))
+    assert n_exchange == 1, plan

@@ -381,6 +381,69 @@ def unigram_logprob(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the standard keyword/topic
+    signal for corpus curation (domain tagging, near-topic sampling,
+    quality-by-vocabulary filters).
+
+    Model: ``tf`` = term occurrences in the doc (lowercased whitespace
+    words); ``idf = ln((N + 1) / (df + 1)) + 1`` (sklearn's smoothed
+    idf — never zero, no division by zero on corpus-wide terms);
+    ``score = tf · idf`` rounded to ``round_digits`` BEFORE ranking so
+    the ranking is reproducible across engines; ties break on word
+    ascending.  Docs with no words produce no rows.
+
+    100-TB shape: the (doc, word) tf aggregation is the corpus's
+    positional index — inherent to tf-idf and map-side combined; the
+    document-frequency table is VOCABULARY-sized (one row per distinct
+    word) and joins back to tf on the word key (AQE may broadcast it;
+    the join input is the tf table, already ~10× smaller than the
+    exploded corpus); N is a one-row broadcast.  The final top-k is a
+    per-doc window over k·docs candidate rows, never a global sort.
+    """
+    require_cols(df, "tfidf_topk", **{id_col: "atomic", text: "string"})
+    from pyspark.sql import Window
+
+    w = (
+        with_words(df.select(id_col, text), text, "_tw")
+        .select(id_col, F.explode_outer("_tw").alias("_word"))
+        .where(F.col("_word").isNotNull())
+        .select(id_col, F.lower(F.col("_word")).alias("word"))
+    )
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1),
+                int(round_digits),
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("score").desc(), F.col("word").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= int(k)).select(
+        id_col, "word", F.col("tf").cast("long").alias("tf"), "score", "rank"
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text: str = "text",

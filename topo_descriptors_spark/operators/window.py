@@ -383,6 +383,82 @@ def sessionize(
 
 
 # ---------------------------------------------------------------------------
+# Exponentially time-decayed features — the classic leak-free
+# point-in-time aggregate of feature stores ("decayed activity count"):
+# per row, sum over the trailing history of value·0.5^(Δt/half_life).
+# No reference analog (north-rule feature family, like sessionize).
+# ---------------------------------------------------------------------------
+
+def decayed_features(
+    df: DataFrame,
+    half_life_seconds: float,
+    entity: str = "entity_id",
+    order: str = "ts",
+    value: str = "value",
+    lookback_rows: int = 100,
+    tiebreak: str | None = None,
+    out_sum: str = "decayed_sum",
+    out_count: str = "decayed_count",
+) -> DataFrame:
+    """Exponentially time-decayed sum and count per entity, strictly
+    backward-looking (zero temporal leakage — the frame ends at the
+    CURRENT row):
+
+        decayed_sum_t   = Σ_{i ≤ t}  v_i · 0.5^((t_t − t_i)/half_life)
+        decayed_count_t = Σ_{i ≤ t}       0.5^((t_t − t_i)/half_life)
+
+    truncated to the trailing ``lookback_rows`` rows — the tail beyond
+    that contributes at most 0.5^(Δt/half_life) per row, and bounding
+    the frame is what makes the state size O(lookback) per row instead
+    of O(history).
+
+    Physical plan: ONE window pass (the engine's canonical
+    partitionBy(entity).orderBy sort — shared with every other frame
+    feature computed in the same select), a frame-bounded
+    ``collect_list(struct(t, v))``, then two JVM-side ``aggregate``
+    folds over that array.  No Python, no extra shuffle; per-row memory
+    is lookback_rows structs (~16 B each).  At 100 TB this pipelines
+    inside the same WindowExec as TPI/std/lag features.
+
+    Determinism: pass ``tiebreak`` (a unique column) whenever ``order``
+    can tie — a ROWS frame over tied rows is otherwise
+    arrival-order-dependent.  NULL values contribute 0 to the sum and
+    are skipped by the count.
+    """
+    _check_seq(df, "decayed_features", entity, order, value, axis="time_axis")
+    for c in ("_dh", "_tnow"):
+        if c in df.columns:
+            raise ValueError(
+                f"decayed_features: reserved column name {c!r} in input"
+            )
+    ob = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*ob)
+        .rowsBetween(-(int(lookback_rows) - 1), 0)
+    )
+    t = axis_seconds(df, order)
+    hl = float(half_life_seconds)
+    hist = F.collect_list(
+        F.struct(t.alias("t"), F.col(value).cast("double").alias("v"))
+    ).over(w)
+    d = df.withColumn("_dh", hist).withColumn("_tnow", t)
+    wsum = F.expr(
+        f"aggregate(_dh, 0D, (a, s) -> a +"
+        f" coalesce(s.v * pow(0.5D, (_tnow - s.t) / {hl!r}), 0D))"
+    )
+    wcnt = F.expr(
+        f"aggregate(_dh, 0D, (a, s) -> a + (CASE WHEN s.v IS NULL THEN 0D"
+        f" ELSE pow(0.5D, (_tnow - s.t) / {hl!r}) END))"
+    )
+    return (
+        d.withColumn(out_sum, wsum)
+        .withColumn(out_count, wcnt)
+        .drop("_dh", "_tnow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # W6 — Sx 1-D: one-sided directional max of elevation angle
 # (reference topo.py:775-858).  Each row looks strictly backward over
 # offsets r_min..R and takes the max of atan((v[-k] - v - h) / dist(k)) —
