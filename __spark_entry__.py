@@ -349,6 +349,42 @@ def q_rollup(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot aggregation: long events -> one wide row per user with a
+    per-event-type value sum (the feature-store "wide features" read
+    shape).  The pivot values are EXPLICIT (no discovery scan), so the
+    plan is a single groupBy with conditional aggregates — one shuffle,
+    map-side combined; the oracle replays it as CASE-WHEN sums."""
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(
+        F.sum("value")
+    )
+    return out.select(
+        "user_id", *[_r(F.col(t)).alias(f"sum_{t}") for t in EVENT_TYPES]
+    )
+
+
+def q_cube(spark, sf_dir):
+    """CUBE aggregation with grouping_id: all four granularities of
+    (event_type, day) in one pass — Spark's bitmask convention
+    (1 = column aggregated away, first cube column = MSB) matches
+    DuckDB's GROUPING(), verified bit-for-bit by the gate."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("value")).alias("sum_value"),
+        F.grouping_id().alias("gid"),
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n", "sum_value", F.col("gid").cast("long").alias("gid"),
+    )
+
+
 def q_znorm(spark, sf_dir):
     """Global z-normalization within event_type (A1)."""
     ev = _events(spark, sf_dir)
@@ -674,6 +710,21 @@ def q_dedup_components_star(spark, sf_dir):
     return dedup.connected_components(docs, pairs, method="star").select(
         "doc_id", "component"
     )
+
+
+def q_keep_best(spark, sf_dir):
+    """The dedup pipeline end-to-end THROUGH the final keep/drop
+    decision: MinHash pairs -> connected components -> one canonical
+    survivor per cluster (longest text, ties to lowest id).  The oracle
+    replays the closure with a recursive CTE and the ranking with a
+    window."""
+    docs = _docs_half(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_perms=16, bands=16, threshold=0.4
+    )
+    comp = dedup.connected_components(docs, pairs)
+    out = dedup.select_canonical(docs, comp)
+    return out.select("doc_id", "component", "canonical_id", "is_canonical")
 
 
 def q_sessionize_stream(spark, sf_dir):
@@ -1174,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_dedup_stream": q_dedup_stream,
         "w_decayed": q_decayed,
         "t_tfidf": q_tfidf,
+        "a_pivot": q_pivot,
+        "a_cube": q_cube,
+        "d_keep_best": q_keep_best,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1201,12 +1255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_regex": q_token_regex,
         "t_lang_id": q_lang_id,
         "t_quality": q_quality,
-        "t_fingerprint": q_fingerprint,
         "p_hash_split": q_hash_split,
         "p_sample_mix": q_sample_mix,
+        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "t_fingerprint": q_fingerprint,
         "p_pack_cumsum": q_pack_cumsum,
         "p_pack_greedy": q_pack_greedy,
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "p_resample": q_resample,
         "f_json_extract": q_json_extract,
         "w_sessionize_stream": q_sessionize_stream,
@@ -2273,6 +2327,51 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               GROUP BY ROLLUP (event_type, day)
             )
+        """,
+        "a_pivot": f"""
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), {_R}) AS sum_click,
+                   round(sum(CASE WHEN event_type = 'error' THEN value END), {_R}) AS sum_error,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), {_R}) AS sum_purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value END), {_R}) AS sum_signup,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), {_R}) AS sum_view
+            FROM events GROUP BY user_id
+        """,
+        "a_cube": f"""
+            SELECT event_type, CAST(day AS VARCHAR) AS day, n, sum_value, gid FROM (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     count(*) AS n, round(sum(value), {_R}) AS sum_value,
+                     GROUPING(event_type, day)::BIGINT AS gid
+              FROM events
+              GROUP BY CUBE (event_type, day)
+            )
+        """,
+        "d_keep_best": f"""
+            WITH RECURSIVE p AS ({_d_minhash_pairs_sql(16, 16, 200, 0.4, _DOCS_HALF_SQL)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents {_DOCS_HALF_SQL}
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+            ranked AS (
+              SELECT d.doc_id, c.component,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY length(d.text) DESC, d.doc_id ASC
+                     ) AS cr
+              FROM (SELECT * FROM documents {_DOCS_HALF_SQL}) d
+              JOIN comp c ON d.doc_id = c.doc_id
+            )
+            SELECT r.doc_id, r.component,
+                   min(CASE WHEN r2.cr = 1 THEN r2.doc_id END) AS canonical_id,
+                   (r.cr = 1) AS is_canonical
+            FROM ranked r JOIN ranked r2 ON r.component = r2.component
+            GROUP BY r.doc_id, r.component, r.cr
         """,
         "t_token_count": f"SELECT doc_id, len({_DW}) AS n_tokens FROM documents",
         "t_token_regex": r"""

@@ -597,3 +597,51 @@ def test_tfidf_topk_hand_calc(spark):
     assert d2.loc["banana", "score"] == pt.approx(round(idf2, 6))
     # empty doc produces no rows
     assert 3 not in set(out.doc_id)
+
+
+def test_select_canonical_longest_wins_ties_to_lowest_id(spark):
+    """Canonical-survivor selection per duplicate cluster: longest text
+    wins, ties break to the lowest id; singletons are their own
+    canonical; custom order_by overrides the rule."""
+    import pandas as pd
+
+    from topo_descriptors_spark.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["short", "longer text", "longer ____", "solo", "x"],
+                "quality": [0.9, 0.1, 0.5, 0.3, 0.2],
+            }
+        )
+    )
+    comp = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5], "component": [1, 1, 1, 4, 5]}
+        )
+    )
+    out = (
+        select_canonical(docs, comp)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # cluster 1: docs 2 and 3 tie on length 11 -> lowest id (2) wins
+    assert out.loc[1, "canonical_id"] == 2 and not out.loc[1, "is_canonical"]
+    assert out.loc[2, "is_canonical"] and out.loc[2, "canonical_id"] == 2
+    assert not out.loc[3, "is_canonical"]
+    # singletons canonical themselves
+    assert out.loc[4, "is_canonical"] and out.loc[4, "canonical_id"] == 4
+    assert out.loc[5, "is_canonical"] and out.loc[5, "canonical_id"] == 5
+    # exactly one canonical per cluster
+    assert out.groupby("component")["is_canonical"].sum().eq(1).all()
+    # quality-based override: doc 1 (q=.9) becomes cluster 1's survivor
+    from pyspark.sql import functions as F
+
+    out_q = (
+        select_canonical(
+            docs, comp,
+            order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out_q.loc[1, "is_canonical"] and out_q.loc[2, "canonical_id"] == 1

@@ -591,3 +591,57 @@ def _cc_star(
         F.col("id").alias(id_col),
         F.coalesce(F.col("label"), F.col("id")).alias(out),
     )
+
+
+def select_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    order_by: list | None = None,
+) -> DataFrame:
+    """The dedup pipeline's FINAL step: pick exactly one canonical
+    survivor per duplicate cluster, and mark every other member a drop.
+
+    Input: the documents table and a (id, component) labeling (from
+    :func:`connected_components`).  Output: every doc with its
+    ``component``, the cluster's ``canonical_id``, and ``is_canonical``
+    — the caller keeps ``is_canonical`` rows (or maps drops to their
+    survivor for provenance).
+
+    Ranking defaults to "longest text wins, ties to lowest id" (the
+    usual keep-the-most-complete-copy rule for near-dup clusters; exact
+    duplicates tie on length and fall to the id); pass ``order_by`` (a
+    list of Columns) to rank by a quality score instead.  The ranking
+    MUST end in a unique column or the choice is nondeterministic —
+    the default ends in ``id_col`` ascending.
+
+    100-TB shape: one equi-join on the id (components output is one row
+    per doc — same key distribution as the corpus, AQE-safe) and one
+    window over ``component``.  Cluster sizes are bounded by the pair
+    generators' bucket caps upstream, so no component is
+    pathologically hot; singletons (most of the corpus) are size-1
+    window groups.
+    """
+    from pyspark.sql import Window
+
+    require_cols(docs, "select_canonical", **{id_col: "atomic"})
+    require_cols(components, "select_canonical",
+                 **{id_col: "atomic", component_col: "atomic"})
+    if order_by is None:
+        order_by = [F.length("text").desc(), F.col(id_col).asc()]
+    joined = docs.join(components, id_col)
+    w = Window.partitionBy(component_col).orderBy(*order_by)
+    ranked = joined.withColumn("_cr", F.row_number().over(w))
+    canon = F.first(
+        F.when(F.col("_cr") == 1, F.col(id_col)), ignorenulls=True
+    ).over(
+        Window.partitionBy(component_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ranked.withColumn("canonical_id", canon)
+        .withColumn("is_canonical", F.col("_cr") == 1)
+        .drop("_cr")
+    )
