@@ -712,6 +712,48 @@ def q_dedup_components_star(spark, sf_dir):
     )
 
 
+def q_chunk(spark, sf_dir):
+    """Sliding-window sequence chunking (max_len=32, overlap=8) over
+    token arrays derived deterministically from words (portable hash mod
+    32768 — SQL-replayable), with the slices pinned by (len, first,
+    last, sum) per chunk; byte-exact array equality is pytest-pinned on
+    the operator itself."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    h = text.PORTABLE_HASH_SQL.format(col="w")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"transform({text.words_sql()}, w -> cast({h} % 32768 as int))"
+        ).alias("tokens"),
+    )
+    out = P.chunk_sequences(d, max_len=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tok_chunk",
+        F.element_at("tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("tokens", -1).cast("long").alias("last_tok"),
+        F.expr("aggregate(tokens, 0L, (a, t) -> a + t)").alias("tok_sum"),
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget mixture: cap every source at 50k training tokens by
+    deterministic hash down-sampling at rate = min(1, budget/total);
+    n_tok derived from words so the oracle replays the whole plan."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(F.expr(text.words_sql())).cast("long").alias("n_tok"),
+    )
+    out = P.token_budget_mixture(d, budget_tokens=50_000)
+    return out.select(
+        "doc_id", "source", "n_tok", _r("rate").alias("rate"), "keep"
+    )
+
+
 def q_keep_best(spark, sf_dir):
     """The dedup pipeline end-to-end THROUGH the final keep/drop
     decision: MinHash pairs -> connected components -> one canonical
@@ -1228,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pivot": q_pivot,
         "a_cube": q_cube,
         "d_keep_best": q_keep_best,
+        "p_chunk": q_chunk,
+        "p_token_budget": q_token_budget,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1255,9 +1299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_regex": q_token_regex,
         "t_lang_id": q_lang_id,
         "t_quality": q_quality,
+        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "p_hash_split": q_hash_split,
         "p_sample_mix": q_sample_mix,
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "t_fingerprint": q_fingerprint,
         "p_pack_cumsum": q_pack_cumsum,
         "p_pack_greedy": q_pack_greedy,
@@ -2372,6 +2416,39 @@ def oracle_sql() -> dict[str, str]:
                    (r.cr = 1) AS is_canonical
             FROM ranked r JOIN ranked r2 ON r.component = r2.component
             GROUP BY r.doc_id, r.component, r.cr
+        """,
+        "p_chunk": f"""
+            WITH w AS (SELECT doc_id, {_DW} AS wl FROM documents),
+            t AS (SELECT doc_id,
+                         list_transform(wl, w -> ({_DH.format(s='w')} % 32768)) AS toks,
+                         len(wl) AS n
+                  FROM w),
+            nc AS (SELECT doc_id, toks, n,
+                     CASE WHEN n <= 0 THEN 0
+                          WHEN n <= 32 THEN 1
+                          ELSE (n - 8 + 23) // 24 END AS n_chunks
+                   FROM t),
+            c AS (SELECT doc_id, toks,
+                         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+                  FROM nc WHERE n_chunks >= 1),
+            s AS (SELECT doc_id, chunk_id,
+                         list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32) AS ch
+                  FROM c)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   len(ch)::BIGINT AS n_tok_chunk,
+                   ch[1]::BIGINT AS first_tok,
+                   ch[-1]::BIGINT AS last_tok,
+                   list_sum(ch)::BIGINT AS tok_sum
+            FROM s
+        """,
+        "p_token_budget": f"""
+            WITH d AS (SELECT doc_id, source, len({_DW})::BIGINT AS n_tok FROM documents),
+            t AS (SELECT source, sum(n_tok)::DOUBLE AS tot FROM d GROUP BY source),
+            r AS (SELECT source, least(1.0, 50000 / tot) AS rate FROM t)
+            SELECT d.doc_id, d.source, d.n_tok,
+                   round(r.rate, {_R}) AS rate,
+                   ({_d_unit_hash("doc_id::VARCHAR", "budget")}) < r.rate AS keep
+            FROM d JOIN r USING (source)
         """,
         "t_token_count": f"SELECT doc_id, len({_DW}) AS n_tokens FROM documents",
         "t_token_regex": r"""

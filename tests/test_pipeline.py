@@ -157,3 +157,73 @@ def test_seeded_shuffle_is_a_stable_permutation(spark):
     # a different seed gives a different epoch order
     c = seeded_shuffle(df, seed=43).toPandas().sort_values("doc_id")
     assert list(a["shuffle_pos"]) != list(c["shuffle_pos"])
+
+
+def test_chunk_sequences_byte_exact_and_edges(spark):
+    """Sliding-window chunking: byte-exact slices vs a numpy replay,
+    full token coverage, short docs -> one chunk, empty -> no rows,
+    overlap >= max_len raises."""
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.pipeline import chunk_sequences
+
+    toks = list(range(100, 110))  # n=10
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "tokens": [toks, [7, 8], []],
+            "source": ["a", "b", "c"],
+        }
+    )
+    out = (
+        chunk_sequences(spark.createDataFrame(pdf), max_len=4, overlap=1)
+        .toPandas().sort_values(["doc_id", "chunk_id"])
+    )
+    d1 = out[out.doc_id == 1]
+    # stride 3, n=10 -> ceil(9/3)=3 chunks: [0:4], [3:7], [6:10]
+    assert list(d1.chunk_id) == [0, 1, 2]
+    got = [list(t) for t in d1.tokens]
+    assert got == [toks[0:4], toks[3:7], toks[6:10]]  # byte-exact slices
+    assert list(d1.n_tok_chunk) == [4, 4, 4]
+    # every input token appears in some chunk (coverage)
+    assert set(toks) == {t for ch in got for t in ch}
+    # short doc -> exactly one whole chunk
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and list(d2.tokens.iloc[0]) == [7, 8]
+    # empty doc -> no rows; passthrough column survives
+    assert 3 not in set(out.doc_id)
+    assert list(d1.source) == ["a", "a", "a"]
+    with pt.raises(ValueError, match="overlap"):
+        chunk_sequences(spark.createDataFrame(pdf), max_len=4, overlap=4)
+
+
+def test_token_budget_mixture_rates_and_determinism(spark):
+    """Budget -> per-source rate = min(1, budget/total); keep decisions
+    are hash-deterministic (stable under repartition/re-run) and the
+    kept-token mass approaches rate x total."""
+    import pandas as pd
+    import pytest as pt
+
+    from topo_descriptors_spark.operators.pipeline import token_budget_mixture
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            "source": ["big"] * 300 + ["small"] * 100,
+            "n_tok": [100] * 300 + [10] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = token_budget_mixture(df, budget_tokens=3000).toPandas()
+    rates = out.groupby("source")["rate"].first()
+    assert rates["big"] == pt.approx(3000 / 30000)   # capped
+    assert rates["small"] == pt.approx(1.0)          # under budget: keep all
+    assert out[out.source == "small"]["keep"].all()
+    kept_tokens = out[(out.source == "big") & out.keep]["n_tok"].sum()
+    assert kept_tokens == pt.approx(3000, rel=0.5)   # expectation, n=300
+    # determinism under repartition
+    again = token_budget_mixture(df.repartition(7), budget_tokens=3000).toPandas()
+    a = out.sort_values("doc_id")["keep"].to_numpy()
+    b = again.sort_values("doc_id")["keep"].to_numpy()
+    assert (a == b).all()

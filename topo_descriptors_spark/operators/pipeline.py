@@ -263,3 +263,114 @@ def seeded_shuffle(
         )
         .drop("_h")
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int,
+    overlap: int = 0,
+    tokens: str = "tokens",
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Split over-long token sequences into training-window chunks with
+    ``overlap`` carried tokens (the standard sliding-window pre-batching
+    step: context windows of ``max_len`` starting every
+    ``stride = max_len - overlap`` tokens).
+
+    Chunk i covers tokens ``[i·stride, i·stride + max_len)``; sequences
+    that fit (``n ≤ max_len``) yield exactly one chunk, longer ones
+    ``ceil((n − overlap) / stride)`` so the last chunk always
+    contributes at least one new token (it may be shorter than
+    ``max_len``); empty sequences produce no rows.  Token arrays are
+    sliced BYTE-EXACTLY (the north-rule token invariant) — no re-pad,
+    no re-encode.
+
+    100-TB shape: one generator (posexplode of a tiny int sequence) and
+    a per-row ``slice`` — map-only, pipelines with the scan, output
+    rows ≈ corpus tokens / stride.  All non-token columns pass through
+    on every chunk row.
+    """
+    require_cols(df, "chunk_sequences",
+                 **{id_col: "atomic", tokens: "array_numeric"})
+    if overlap >= max_len:
+        raise ValueError(
+            f"chunk_sequences: overlap={overlap} must be < max_len={max_len}"
+        )
+    for c in ("_nchunks", chunk_col):
+        if c in df.columns:
+            raise ValueError(
+                f"chunk_sequences: reserved column name {c!r} in input"
+            )
+    stride = int(max_len) - int(overlap)
+    n = F.size(F.col(tokens))
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= int(max_len), F.lit(1))
+        .otherwise(F.ceil((n - F.lit(int(overlap))) / F.lit(stride)))
+        .cast("int")
+    )
+    d = df.withColumn("_nchunks", n_chunks)
+    d = d.select(
+        *[c for c in df.columns if c != tokens],
+        F.col(tokens).alias("_toks"),
+        # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — empty
+        # sequences must map to an empty array, not a descending one
+        F.posexplode(
+            F.expr(
+                "CASE WHEN _nchunks >= 1 THEN sequence(1, _nchunks)"
+                " ELSE array() END"
+            )
+        ).alias(chunk_col, "_one"),
+    )
+    start = F.col(chunk_col) * stride  # posexplode pos is 0-based
+    chunk = F.slice(F.col("_toks"), start + 1, int(max_len))
+    return (
+        d.withColumn(tokens, chunk)
+        .withColumn("n_tok_chunk", F.size(tokens).cast("long"))
+        .drop("_toks", "_one")
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budget_tokens: float,
+    n_tok: str = "n_tok",
+    source: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget mixture planning + sampling in one pass: cap every
+    source at ``budget_tokens`` total training tokens by down-sampling
+    documents at ``rate = min(1, budget / source_total_tokens)`` —
+    the "don't let CommonCrawl drown the books" step of corpus mixing,
+    but specified in TOKENS (what the training run actually consumes),
+    not document counts.
+
+    The keep decision is the engine's deterministic portable-hash
+    sampler (re-run/repartition stable, replayable in SQL); expected
+    kept tokens per source = rate × total (exact in expectation — the
+    hash is uniform on [0,1)).  Output: every doc with its source
+    ``rate`` and a ``keep`` flag; filtering is the caller's one-liner.
+
+    100-TB shape: one vocabulary-of-sources aggregation (map-side
+    combined, output rows = #sources), broadcast back, then a per-row
+    hash compare — no corpus shuffle anywhere.
+    """
+    require_cols(df, "token_budget_mixture",
+                 **{id_col: "atomic", n_tok: "numeric", source: "atomic"})
+    for c in ("_tot", "rate", "keep"):
+        if c in df.columns:
+            raise ValueError(
+                f"token_budget_mixture: reserved column name {c!r} in input"
+            )
+    totals = df.groupBy(source).agg(
+        F.sum(F.col(n_tok)).cast("double").alias("_tot")
+    )
+    rates = totals.withColumn(
+        "rate",
+        F.least(F.lit(1.0), F.lit(float(budget_tokens)) / F.col("_tot")),
+    )
+    d = df.join(F.broadcast(rates), source)
+    kept = unit_hash_col(id_col, salt) < F.col("rate")
+    return d.withColumn("keep", kept).drop("_tot")
