@@ -878,6 +878,58 @@ def q_dedup_stream(spark, sf_dir):
     return spark.table(name).select("user_id", "event_type")
 
 
+def q_decayed_stream(spark, sf_dir):
+    """Custom stateful streaming operator as an OFFICIAL gate row: the
+    events parquet as a file STREAM through applyInPandasWithState
+    computing per-event decayed sum/count over bounded per-entity state
+    (the trailing-50 (t, v) pairs — exactly the batch operator's
+    window), drained availableNow into a memory sink.
+
+    Must equal the BATCH decayed_features row for row — the gate reuses
+    w_decayed's oracle verbatim.  Gate-only physics as documented on
+    w_sessionize_stream: a single-file source drains in file order, so
+    cross-batch arrival order is deterministic here; in production the
+    same operator is simply incremental (state carries across batches).
+    """
+    import tempfile
+    import uuid
+
+    from topo_descriptors_spark.streaming.state import decayed_entity_state
+
+    schema = _events(spark, sf_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    out = decayed_entity_state(
+        ev, half_life_seconds=86400.0, lookback_rows=50
+    )
+    name = "decay_gate_" + uuid.uuid4().hex[:8]
+    ckp = tempfile.mkdtemp(prefix="ckp_decay_gate_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckp)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("id").alias("event_id"),
+        F.col("entity").alias("user_id"),
+        _r("decayed_sum").alias("decayed_sum"),
+        _r("decayed_count").alias("decayed_count"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (8-bit chunk banding + hamming<=6): the
     banding, bucket cap and popcount all replay exactly in SQL."""
@@ -1272,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_keep_best": q_keep_best,
         "p_chunk": q_chunk,
         "p_token_budget": q_token_budget,
+        "w_decayed_stream": q_decayed_stream,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1298,8 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": q_token_count,
         "t_token_regex": q_token_regex,
         "t_lang_id": q_lang_id,
-        "t_quality": q_quality,
         # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "t_quality": q_quality,
         "p_hash_split": q_hash_split,
         "p_sample_mix": q_sample_mix,
         "t_fingerprint": q_fingerprint,
@@ -2608,6 +2661,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(pd.nw, 0)::BIGINT AS n_words,
                    round(pd.nlp, {_R}) AS neg_logprob
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """,
+        # the streaming stateful twin must equal the batch decayed
+        # features row for row -> same oracle verbatim
+        "w_decayed_stream": f"""
+            WITH h AS (
+              SELECT event_id, user_id, epoch(ts) AS t, value,
+                     array_agg({{'t': epoch(ts), 'v': value}}) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW
+                     ) AS hist
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   round(list_sum(list_transform(hist,
+                         s -> s.v * pow(0.5, (t - s.t) / 86400.0))), {_R})
+                     AS decayed_sum,
+                   round(list_sum(list_transform(hist,
+                         s -> pow(0.5, (t - s.t) / 86400.0))), {_R})
+                     AS decayed_count
+            FROM h
         """,
         "w_decayed": f"""
             WITH h AS (

@@ -1,0 +1,490 @@
+"""Tabular feature-engineering operators: encodings, hashing, rolling
+quantiles, sketches, binning, correlation.
+
+The reference computes per-pixel terrain *features* from a neighborhood
+(topo.py:24-77 dispatches a feature bank over scales); this module is
+the tabular analog for ML feature pipelines — per-row features derived
+from group-level or window-level statistics, built scale-first:
+
+- group statistics are always VOCABULARY-sized aggregations (map-side
+  combine collapses the corpus per partition before the shuffle) joined
+  back with an explicit ``broadcast()`` — the corpus itself never
+  shuffles;
+- windowed features are single-``WindowExec``, frame-bounded plans
+  (state per row is O(k), never the full partition);
+- everything per-row is JVM-side column expressions (no Python UDFs).
+
+Every operator validates its input schema at entry (SURVEY §2 P7) and
+has an exact DuckDB replay at the driver gate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.validate import require_cols
+
+__all__ = [
+    "target_encode",
+    "count_encode",
+    "feature_hash",
+    "hash_vectorize_text",
+    "rolling_quantiles",
+    "kmv_distinct",
+    "quantile_bin",
+    "corr_matrix",
+]
+
+# portable across Spark and DuckDB (see text.py:23): 15 hex chars of
+# md5 -> non-negative bigint in [0, 2^60)
+_PORTABLE_HASH = "cast(conv(substr(md5(cast({col} as binary)),1,15),16,10) as bigint)"
+_HASH_SPACE = float(1 << 60)
+
+
+# ---------------------------------------------------------------------------
+# encodings
+# ---------------------------------------------------------------------------
+
+def target_encode(
+    df: DataFrame,
+    category: str,
+    target: str,
+    smoothing: float = 20.0,
+    out_col: str = "te",
+    loo: bool = True,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Smoothed target (mean) encoding with leave-one-out correction.
+
+    For each row, encode ``category`` as the smoothed mean of ``target``
+    over all OTHER rows of the same category (leave-one-out, the
+    standard anti-leakage trick), shrunk toward the global mean by
+    ``smoothing`` pseudo-observations:
+
+        te = (cat_sum - own_y + m * global_mean) / (cat_n - own_1 + m)
+
+    Rows whose target is NULL contribute nothing to the statistics and
+    are encoded with the non-LOO smoothed mean.  NULL categories get the
+    pure prior (the global mean).
+
+    Scale: one vocabulary-sized ``groupBy(category)`` (map-side combine
+    collapses the corpus per partition first), one single-row global
+    aggregate, then a ``broadcast`` join back — the corpus itself never
+    shuffles.  ``broadcast_stats=False`` is the escape for category
+    cardinalities beyond driver memory (the join falls back to a
+    shuffled hash join on the vocabulary key).
+    """
+    require_cols(df, "target_encode", **{category: "atomic", target: "numeric"})
+    for c in ("_cat_sum", "_cat_n", "_gmean", out_col):
+        if c in df.columns and c != out_col:
+            raise ValueError(f"target_encode: reserved column name {c!r} in input")
+
+    stats = df.groupBy(category).agg(
+        F.sum(target).alias("_cat_sum"),
+        F.count(target).alias("_cat_n"),
+    )
+    glob = df.agg(
+        (F.sum(target) / F.count(target)).alias("_gmean")
+    )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    out = df.join(stats, on=category, how="left").crossJoin(F.broadcast(glob))
+
+    m = float(smoothing)
+    y = F.col(target)
+    csum = F.coalesce(F.col("_cat_sum"), F.lit(0.0))
+    cn = F.coalesce(F.col("_cat_n"), F.lit(0.0)).cast("double")
+    gmean = F.col("_gmean")
+    if loo:
+        # own-row removal only when this row actually contributed
+        contrib = y.isNotNull()
+        num = F.when(contrib, csum - y).otherwise(csum) + m * gmean
+        den = F.when(contrib, cn - 1).otherwise(cn) + m
+    else:
+        num = csum + m * gmean
+        den = cn + m
+    enc = F.when(den > 0, num / den).otherwise(gmean)
+    # NULL category never matches the left join (null-unsafe by design):
+    # fall back to the prior
+    enc = F.when(F.col(category).isNull(), gmean).otherwise(enc)
+    return out.withColumn(out_col, enc).drop("_cat_sum", "_cat_n", "_gmean")
+
+
+def count_encode(
+    df: DataFrame,
+    category: str,
+    min_count: int = 5,
+    out_prefix: str = "ce",
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Frequency encoding: per-category row count, its log1p, and a
+    rare-category flag (``count < min_count`` — the bucket a pipeline
+    would collapse into ``<RARE>`` before one-hot/embedding lookup).
+
+    NULL categories count as their own group (encoded with their own
+    frequency, flagged by ``{prefix}_null``).
+
+    Scale: identical shape to :func:`target_encode` — vocabulary-sized
+    aggregate, broadcast join back, zero corpus shuffles.
+    """
+    require_cols(df, "count_encode", **{category: "atomic"})
+    cnt, lg, rare, isnull = (
+        f"{out_prefix}_count", f"{out_prefix}_log", f"{out_prefix}_rare",
+        f"{out_prefix}_null",
+    )
+    for c in (cnt, lg, rare, isnull):
+        if c in df.columns:
+            raise ValueError(f"count_encode: output column {c!r} already in input")
+
+    # null-safe key so NULL categories form a countable group
+    key = F.coalesce(F.col(category).cast("string"), F.lit("\x00NULL"))
+    stats = (
+        df.select(key.alias("_ck"))
+        .groupBy("_ck")
+        .agg(F.count(F.lit(1)).alias(cnt))
+    )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    out = df.withColumn("_ck", key).join(stats, on="_ck", how="left").drop("_ck")
+    return (
+        out.withColumn(lg, F.log1p(F.col(cnt)))
+        .withColumn(rare, F.col(cnt) < F.lit(int(min_count)))
+        .withColumn(isnull, F.col(category).isNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing trick
+# ---------------------------------------------------------------------------
+
+def feature_hash(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_features: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick (sklearn ``FeatureHasher`` semantics) over a
+    fixed set of columns, emitting a sparse vector as parallel
+    ``idx``/``val`` arrays sorted by index.
+
+    String/categorical column c with value v -> feature ``c=v`` with
+    weight 1; numeric column c -> feature ``c`` with weight v.  Each
+    feature f lands in bucket ``portable_hash(f) mod n_features`` with
+    sign ``(hash mod 2)*2-1`` (the collision-unbiasing sign trick);
+    colliding features SUM.  NULL values contribute nothing.
+
+    Scale: pure map-side — per-row array construction and an
+    O(k_distinct * k) in-row fold over the k = ``len(cols)`` feature
+    pairs; no shuffle, no Python.  The portable md5 hash keeps the
+    bucketing engine-independent (exactly replayable in DuckDB at the
+    gate).
+    """
+    require_cols(df, "feature_hash", **{id_col: "atomic"})
+    require_cols(df, "feature_hash", **{c: "atomic" for c in cols})
+    n = int(n_features)
+    if n <= 0:
+        raise ValueError("feature_hash: n_features must be positive")
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    pair_exprs = []
+    for c in cols:
+        numeric = fields[c] in {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal",
+        } or fields[c].startswith("decimal")
+        if numeric:
+            token = f"'{c}'"
+            val = f"cast(`{c}` as double)"
+        else:
+            token = f"concat('{c}', '=', cast(`{c}` as string))"
+            val = f"if(`{c}` is null, cast(null as double), 1.0d)"
+        h = _PORTABLE_HASH.format(col=token)
+        pair_exprs.append(
+            f"named_struct('idx', cast(pmod({h}, {n}) as int), "
+            f"'val', (cast(({h}) % 2 as double) * 2.0d - 1.0d) * ({val}))"
+        )
+    pairs = F.expr(
+        "filter(array(" + ", ".join(pair_exprs) + "), p -> p.val is not null)"
+    )
+    out = df.withColumn("_fh", pairs)
+    idxs = F.array_sort(F.array_distinct(F.expr("transform(_fh, p -> p.idx)")))
+    out = out.withColumn("_fi", idxs)
+    vals = F.expr(
+        "transform(_fi, i -> aggregate(filter(_fh, p -> p.idx = i), "
+        "cast(0.0 as double), (a, p) -> a + p.val))"
+    )
+    return (
+        out.withColumn("idxs", F.col("_fi"))
+        .withColumn("vals", vals)
+        .drop("_fh", "_fi")
+    )
+
+
+def hash_vectorize_text(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 32,
+    ngram: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Hashed n-gram count vectorizer over whitespace tokens: each word
+    ``ngram``-gram hashes into one of ``n_features`` buckets (portable
+    md5 hash); the output is the DENSE per-document bucket-count vector
+    — the classic fixed-width text representation for dedup sketches /
+    cheap classifiers at corpus scale.
+
+    Docs with fewer than ``ngram`` tokens (or NULL text) produce the
+    all-zero vector, never NULL — fixed-width contract for downstream
+    matrix consumers.
+
+    Scale: map-only — tokenize, slide, hash, and histogram entirely
+    in-row with JVM array expressions (O(n_features * n_tokens) per
+    row); no shuffle, no Python worker.  n_features is the bound on
+    output width regardless of vocabulary size — that is the point of
+    the hashing trick at 100 TB.
+    """
+    require_cols(df, "hash_vectorize_text", **{id_col: "atomic", text: "string"})
+    n = int(n_features)
+    g = int(ngram)
+    if n <= 0 or g <= 0:
+        raise ValueError("hash_vectorize_text: n_features and ngram must be positive")
+    src = f"lower(`{text}`)" if lowercase else f"`{text}`"
+    toks = (
+        f"filter(split(trim({src}), '\\\\s+'), t -> t <> '')"
+    )
+    d = df.withColumn("_tk", F.expr(toks))
+    # sliding n-grams joined with a separator token
+    d = d.withColumn(
+        "_ng",
+        F.expr(
+            f"case when size(_tk) >= {g} then "
+            f"transform(sequence(1, size(_tk) - {g} + 1), "
+            f"i -> array_join(slice(_tk, i, {g}), ' ')) "
+            "else array() end"
+        ),
+    )
+    h = _PORTABLE_HASH.format(col="x")
+    d = d.withColumn(
+        "_hb", F.expr(f"transform(_ng, x -> cast(pmod({h}, {n}) as int))")
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {n - 1}), "
+        "b -> size(filter(_hb, i -> i = b)))"
+    )
+    return d.withColumn("vec", vec).drop("_tk", "_ng", "_hb")
+
+
+# ---------------------------------------------------------------------------
+# rolling quantiles
+# ---------------------------------------------------------------------------
+
+def rolling_quantiles(
+    df: DataFrame,
+    entity: str,
+    order: str,
+    value: str,
+    k: int,
+    qs: Sequence[float] = (0.5,),
+    tiebreak: str | None = None,
+    prefix: str = "rq",
+) -> DataFrame:
+    """Exact rolling quantiles (linear interpolation, the
+    ``quantile_cont`` definition) of ``value`` over each entity's
+    trailing ``k`` rows — rolling median is ``qs=(0.5,)``.
+
+    NULL values are skipped (the window shrinks); a window of all-NULLs
+    yields NULL.  ``tiebreak`` makes the frame deterministic under
+    ``order`` ties — REQUIRED for cross-engine equality because the
+    frame's *membership* depends on row order.
+
+    Scale: ONE shared ``WindowExec`` (one sort) for every quantile; the
+    frame is row-bounded so per-row state is O(k).  The in-frame sort is
+    O(k log k) JVM array_sort — fine for feature-sized k (10s-100s);
+    for k in the 10^5+ range use two-pass t-digest style sketches
+    instead (out of scope: exactness is the contract here).
+    """
+    require_cols(
+        df, "rolling_quantiles",
+        **{entity: "atomic", order: "orderable", value: "numeric"},
+    )
+    if k <= 0:
+        raise ValueError("rolling_quantiles: k must be positive")
+    for c in ("_rqa",):
+        if c in df.columns:
+            raise ValueError(f"rolling_quantiles: reserved column {c!r} in input")
+    ob = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*ob)
+        .rowsBetween(-(int(k) - 1), Window.currentRow)
+    )
+    # one collect_list materialized once -> every quantile reads it
+    out = df.withColumn(
+        "_rqa", F.array_sort(F.collect_list(F.col(value).cast("double")).over(w))
+    )
+    nn = F.size("_rqa")
+    for q in qs:
+        qf = float(q)
+        if not 0.0 <= qf <= 1.0:
+            raise ValueError(f"rolling_quantiles: q={qf} outside [0,1]")
+        # linear interpolation on the sorted array: pos = (n-1)*q
+        pos = (nn - 1).cast("double") * F.lit(qf)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        vlo = F.element_at("_rqa", lo + 1)
+        vhi = F.element_at("_rqa", F.least(lo + 2, nn))
+        val = F.when(nn > 0, vlo + frac * (vhi - vlo))
+        name = f"{prefix}_p{int(round(qf * 100)):02d}"
+        out = out.withColumn(name, val)
+    return out.drop("_rqa")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_by: str | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    with the engine's portable hash, so the whole sketch — hashing,
+    k-smallest selection, estimate — replays exactly in DuckDB.
+
+    Each distinct value maps to a uniform hash in [0,1); the k-th
+    smallest distinct hash ``h_k`` estimates the distinct count as
+    ``(k-1)/h_k``.  When fewer than k distinct hashes exist the sketch
+    is exact and reports the true count.  Output per group:
+    ``n_kept`` (hashes retained, <= k), ``est`` (rounded estimate).
+
+    Scale: the KMV merge is exact — the k smallest distinct hashes of a
+    union are computable from per-partition k-smallest-distinct
+    partials, so the plan is: map-side partial-distinct (the
+    deduplicating partial aggregate collapses each partition first),
+    shuffle only distinct (group, hash) pairs, rank within group, keep
+    k.  The shuffle payload is bounded by distinct-cardinality, not
+    corpus size; for extreme cardinalities the same operator composes
+    with a pre-bucketed ``repartition`` — nothing here is all-rows.
+    """
+    require_cols(df, "kmv_distinct", **{col: "atomic"})
+    if group_by is not None:
+        require_cols(df, "kmv_distinct", **{group_by: "atomic"})
+    if k < 2:
+        raise ValueError("kmv_distinct: k must be >= 2")
+    h = F.expr(_PORTABLE_HASH.format(col=f"cast(`{col}` as string)"))
+    gcol = group_by if group_by is not None else None
+    keys = [gcol] if gcol else []
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(*keys, h.alias("_h"))
+        .dropDuplicates(keys + ["_h"])
+    )
+    if gcol:
+        wr = Window.partitionBy(gcol).orderBy("_h")
+    else:
+        wr = Window.partitionBy(F.lit(1)).orderBy("_h")
+    topk = hashes.withColumn("_rn", F.row_number().over(wr)).where(
+        F.col("_rn") <= int(k)
+    )
+    grp = topk.groupBy(*keys) if keys else topk.groupBy()
+    est = grp.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.col("_h").cast("double") / F.lit(_HASH_SPACE)).alias("_hk"),
+    )
+    return est.select(
+        *keys,
+        "n_kept",
+        F.round(
+            F.when(
+                F.col("n_kept") < int(k), F.col("n_kept").cast("double")
+            ).otherwise((F.lit(float(k - 1))) / F.col("_hk")),
+            6,
+        ).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile binning
+# ---------------------------------------------------------------------------
+
+def quantile_bin(
+    df: DataFrame,
+    value: str,
+    n_bins: int = 4,
+    out_col: str = "bin",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: assign each row the bin index
+    of ``value`` among ``n_bins`` quantile buckets computed over the
+    whole table — the discretization step of classic feature pipelines
+    (quartile/decile features).
+
+    Boundaries are the exact interior quantiles (``quantile_cont``
+    definition), ROUNDED to ``round_dp`` before comparison so the bin
+    edges are bit-identical across engines; assignment is
+    ``sum(value > edge_i)``.  NULL values get NULL bins.
+
+    Scale: one exact-percentile aggregate produces a SINGLE row of
+    ``n_bins-1`` edges, broadcast onto the table — map-only assignment,
+    zero corpus shuffles.  (Spark's exact ``percentile`` aggregates
+    per-partition maps; for 100-TB inputs swap in approx_percentile with
+    a documented tolerance — exactness is the gate contract here.)
+    """
+    require_cols(df, "quantile_bin", **{value: "numeric"})
+    nb = int(n_bins)
+    if nb < 2:
+        raise ValueError("quantile_bin: n_bins must be >= 2")
+    if "_qedges" in df.columns or out_col in df.columns:
+        raise ValueError("quantile_bin: reserved/output column already in input")
+    qs = [i / nb for i in range(1, nb)]
+    edges = df.agg(
+        F.expr(
+            f"transform(percentile(`{value}`, array({', '.join(map(str, qs))})), "
+            f"e -> round(e, {int(round_dp)}))"
+        ).alias("_qedges")
+    )
+    out = df.crossJoin(F.broadcast(edges))
+    b = F.when(
+        F.col(value).isNotNull(),
+        F.expr(f"size(filter(_qedges, e -> `{value}` > e))"),
+    )
+    return out.withColumn(out_col, b).drop("_qedges")
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix
+# ---------------------------------------------------------------------------
+
+def corr_matrix(df: DataFrame, cols: Sequence[str], round_dp: int = 6) -> DataFrame:
+    """Pairwise Pearson correlation of ``cols`` in ONE aggregation pass,
+    emitted in long form (col_a, col_b, corr) for the upper triangle.
+
+    Scale: a single map-side-combinable aggregate computes every
+    pairwise moment simultaneously (one corpus scan, one 1-row result);
+    the unpivot is driver-side on that single row.  This is the shape a
+    feature-store profiling job wants at 100 TB — never one scan per
+    pair.
+    """
+    require_cols(df, "corr_matrix", **{c: "numeric" for c in cols})
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in list(cols)[i + 1:]:
+            nm = f"{a}__{b}"
+            names.append((a, b, nm))
+            aggs.append(F.round(F.corr(a, b), int(round_dp)).alias(nm))
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', `{nm}`" for a, b, nm in names)
+    return one.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS (col_a, col_b, corr)"
+        )
+    )
