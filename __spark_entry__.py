@@ -930,6 +930,108 @@ def q_decayed_stream(spark, sf_dir):
     )
 
 
+def q_target_encode(spark, sf_dir):
+    """Leave-one-out smoothed target encoding (features.target_encode):
+    vocab-sized groupBy + broadcast join back — the corpus never
+    shuffles.  The LOO arithmetic replays exactly in SQL."""
+    from topo_descriptors_spark.operators import features as FE
+
+    ev = _events(spark, sf_dir)
+    out = FE.target_encode(ev, "event_type", "value", smoothing=20.0)
+    return out.select("event_id", "event_type", _r("te").alias("te"))
+
+
+def q_count_encode(spark, sf_dir):
+    """Frequency encoding + rare-category bucket flag over a
+    high-cardinality key (n_chars: many singleton groups exercise the
+    rare path)."""
+    from topo_descriptors_spark.operators import features as FE
+
+    docs = _docs(spark, sf_dir)
+    out = FE.count_encode(docs, "n_chars", min_count=3)
+    return out.select(
+        "doc_id", "ce_count", _r("ce_log").alias("ce_log"),
+        "ce_rare", "ce_null",
+    )
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick sparse vectors (sklearn FeatureHasher semantics)
+    over mixed categorical+numeric columns; portable md5 bucketing so
+    the collision-summing replays bit-exactly in DuckDB."""
+    from topo_descriptors_spark.operators import features as FE
+
+    docs = _docs(spark, sf_dir)
+    out = FE.feature_hash(docs, ["lang", "source", "n_chars"], n_features=16)
+    # gate serialization: every val is integral here (±1 sums and
+    # ±n_chars), so comma-joined int strings are engine-exact
+    return out.select(
+        "doc_id",
+        F.expr("concat_ws(',', idxs)").alias("idx_s"),
+        F.expr("concat_ws(',', transform(vals, v -> cast(v as bigint)))"
+               ).alias("val_s"),
+    )
+
+
+def q_hash_vectorize(spark, sf_dir):
+    """Hashed word-3-gram count vectorizer: dense 32-wide bucket-count
+    vector per doc, fully in-row (map-only, no shuffle)."""
+    from topo_descriptors_spark.operators import features as FE
+
+    out = FE.hash_vectorize_text(_docs(spark, sf_dir), n_features=32, ngram=3)
+    return out.select("doc_id", F.expr("concat_ws(',', vec)").alias("vec_s"))
+
+
+def q_rolling_quantiles(spark, sf_dir):
+    """Exact rolling p25/p50/p75 over each user's trailing 20 events —
+    one shared WindowExec for all three quantiles (plan-pinned in
+    pytest)."""
+    from topo_descriptors_spark.operators import features as FE
+
+    ev = _events(spark, sf_dir)
+    out = FE.rolling_quantiles(
+        ev, "user_id", "ts", "value", k=20, qs=(0.25, 0.5, 0.75),
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        _r("rq_p25").alias("rq_p25"),
+        _r("rq_p50").alias("rq_p50"),
+        _r("rq_p75").alias("rq_p75"),
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct sketch per event_type (portable-hash
+    KMV, k=64): at sf0.01+ the estimator path is live (distinct users >
+    k); the whole sketch replays exactly in SQL."""
+    from topo_descriptors_spark.operators import features as FE
+
+    return FE.kmv_distinct(_events(spark, sf_dir), "user_id", k=64,
+                           group_by="event_type")
+
+
+def q_quantile_bin(spark, sf_dir):
+    """Equal-frequency binning into octiles: one exact-percentile
+    aggregate broadcast back, map-only assignment.  n_bins=8 keeps the
+    quantile fractions exact binary doubles on both engines."""
+    from topo_descriptors_spark.operators import features as FE
+
+    out = FE.quantile_bin(_events(spark, sf_dir), "value", n_bins=8)
+    return out.select("event_id", F.col("bin").cast("bigint").alias("bin"))
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of the 4 lineitem measures in ONE
+    aggregation pass (never one scan per pair)."""
+    from topo_descriptors_spark.operators import features as FE
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return FE.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (8-bit chunk banding + hamming<=6): the
     banding, bucket cap and popcount all replay exactly in SQL."""
@@ -1325,6 +1427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_chunk": q_chunk,
         "p_token_budget": q_token_budget,
         "w_decayed_stream": q_decayed_stream,
+        "e_target_encode": q_target_encode,
+        "e_count_encode": q_count_encode,
+        "e_feature_hash": q_feature_hash,
+        "t_hash_vectorize": q_hash_vectorize,
+        "w_rolling_quantiles": q_rolling_quantiles,
+        "k_kmv_distinct": q_kmv_distinct,
+        "a_quantile_bin": q_quantile_bin,
+        "a_corr_matrix": q_corr_matrix,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1343,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_events": q_asof_events,
         "t_repetition": q_repetition,
         "j_asof_orders_strict": q_asof_orders_strict,
+        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "a_top_event": q_top_event,
         "a_znorm": q_znorm,
         "a_rollup": q_rollup,
@@ -1351,7 +1462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": q_token_count,
         "t_token_regex": q_token_regex,
         "t_lang_id": q_lang_id,
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "t_quality": q_quality,
         "p_hash_split": q_hash_split,
         "p_sample_mix": q_sample_mix,
@@ -2681,6 +2791,149 @@ def oracle_sql() -> dict[str, str]:
                          s -> pow(0.5, (t - s.t) / 86400.0))), {_R})
                      AS decayed_count
             FROM h
+        """,
+        "e_target_encode": f"""
+            WITH s AS (
+              SELECT event_type, sum(value) AS cs, count(value) AS cn
+              FROM events GROUP BY event_type
+            ), g AS (
+              SELECT sum(value) / count(value) AS gm FROM events
+            )
+            SELECT e.event_id, e.event_type,
+                   round(CASE WHEN e.event_type IS NULL THEN g.gm ELSE
+                     (coalesce(s.cs, 0) -
+                      CASE WHEN e.value IS NOT NULL THEN e.value ELSE 0 END
+                      + 20.0 * g.gm)
+                     / (coalesce(s.cn, 0) -
+                        CASE WHEN e.value IS NOT NULL THEN 1 ELSE 0 END
+                        + 20.0) END, {_R}) AS te
+            FROM events e LEFT JOIN s USING (event_type) CROSS JOIN g
+        """,
+        "e_count_encode": f"""
+            WITH s AS (
+              SELECT coalesce(cast(n_chars AS varchar), chr(0) || 'NULL') AS k,
+                     count(*) AS c
+              FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, s.c AS ce_count,
+                   round(ln(1 + s.c), {_R}) AS ce_log,
+                   s.c < 3 AS ce_rare,
+                   d.n_chars IS NULL AS ce_null
+            FROM documents d
+            JOIN s ON coalesce(cast(d.n_chars AS varchar), chr(0) || 'NULL') = s.k
+        """,
+        "e_feature_hash": f"""
+            WITH base AS (
+              SELECT doc_id,
+                ('0x' || substr(md5('lang=' || lang), 1, 15))::BIGINT AS hl,
+                ('0x' || substr(md5('source=' || source), 1, 15))::BIGINT AS hs,
+                ('0x' || substr(md5('n_chars'), 1, 15))::BIGINT AS hn,
+                n_chars
+              FROM documents
+            ), p AS (
+              SELECT doc_id, u.idx AS idx, u.val AS val FROM (
+                SELECT doc_id, unnest([
+                  {{'idx': hl % 16, 'val': CASE WHEN hl IS NULL THEN NULL
+                     ELSE ((hl % 2) * 2 - 1)::DOUBLE END}},
+                  {{'idx': hs % 16, 'val': CASE WHEN hs IS NULL THEN NULL
+                     ELSE ((hs % 2) * 2 - 1)::DOUBLE END}},
+                  {{'idx': hn % 16,
+                    'val': ((hn % 2) * 2 - 1)::DOUBLE * n_chars}}
+                ]) AS u
+                FROM base) q
+              WHERE u.val IS NOT NULL
+            ), f AS (
+              SELECT doc_id, idx, sum(val) AS val FROM p GROUP BY doc_id, idx
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(cast(idx AS varchar), ',' ORDER BY idx) AS idx_s,
+                     string_agg(cast(cast(val AS bigint) AS varchar), ','
+                                ORDER BY idx) AS val_s
+              FROM f GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.idx_s, '') AS idx_s,
+                   coalesce(a.val_s, '') AS val_s
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "t_hash_vectorize": r"""
+            WITH t AS (
+              SELECT doc_id,
+                coalesce(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> ''), []) AS tk
+              FROM documents
+            ), g AS (
+              SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+                  list_transform(generate_series(1, len(tk) - 2),
+                    i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                ELSE [] END AS ng
+              FROM t
+            ), h AS (
+              SELECT doc_id, list_transform(ng,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 32) AS hb
+              FROM g
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(generate_series(0, 31),
+                     b -> len(list_filter(hb, i -> i = b))), ',') AS vec_s
+            FROM h
+        """,
+        "w_rolling_quantiles": f"""
+            SELECT event_id, user_id,
+                   round(quantile_cont(value, 0.25) OVER w, {_R}) AS rq_p25,
+                   round(quantile_cont(value, 0.5) OVER w, {_R}) AS rq_p50,
+                   round(quantile_cont(value, 0.75) OVER w, {_R}) AS rq_p75
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "k_kmv_distinct": f"""
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                ('0x' || substr(md5(cast(user_id AS varchar)), 1, 15))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM h
+            ), k AS (
+              SELECT event_type, count(*) AS n_kept,
+                     max(h / 1152921504606846976.0) AS hk
+              FROM r WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT event_type, n_kept,
+                   round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                         ELSE 63.0 / hk END, {_R}) AS est
+            FROM k
+        """,
+        "a_quantile_bin": f"""
+            WITH e AS (
+              SELECT quantile_cont(value,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+              FROM events
+            )
+            SELECT ev.event_id,
+                   CASE WHEN ev.value IS NULL THEN NULL
+                        ELSE len(list_filter(e.qs,
+                               x -> ev.value > round(x, {_R}))) END AS bin
+            FROM events ev CROSS JOIN e
+        """,
+        "a_corr_matrix": f"""
+            SELECT col_a, col_b, round(c, {_R}) AS corr FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     corr(l_quantity, l_extendedprice) AS c FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                     corr(l_quantity, l_discount) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                     corr(l_quantity, l_tax) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     corr(l_extendedprice, l_discount) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     corr(l_extendedprice, l_tax) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                     corr(l_discount, l_tax) FROM lineitem
+            ) u
         """,
         "w_decayed": f"""
             WITH h AS (

@@ -219,6 +219,12 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "t_line_dedup",
         "j_interval",
         "t_unigram_logprob",
+        # round-4 feature-engineering bank: one representative per plan
+        # family (broadcast-encode join, in-row hash vectorize, shared
+        # multi-quantile WindowExec)
+        "e_target_encode",
+        "t_hash_vectorize",
+        "w_rolling_quantiles",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate
