@@ -1032,6 +1032,25 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Portable Bloom filter (bloom.py): build a 1024-bit/2-hash bitset
+    over a deterministic 'benchmark' subset (doc_id % 7 = 0), broadcast
+    it, probe the corpus map-side.  m is deliberately small so the
+    false-positive path is LIVE at gate scale; exact membership is
+    emitted alongside so the gate pins both bloom_hit ⊇ exact_hit and
+    the exact FP pattern (bit-for-bit replayed in SQL)."""
+    from topo_descriptors_spark.operators import bloom as B
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("doc_id % 7 = 0").select("text")
+    bl = B.bloom_build(bench, "text", m_bits=1024, g_hashes=2)
+    pruned = B.bloom_prune(docs, "text", bl, m_bits=1024, g_hashes=2)
+    return pruned.select(
+        "doc_id", "bloom_hit",
+        (F.col("doc_id") % 7 == 0).alias("exact_hit"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (8-bit chunk banding + hamming<=6): the
     banding, bucket cap and popcount all replay exactly in SQL."""
@@ -1435,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_kmv_distinct": q_kmv_distinct,
         "a_quantile_bin": q_quantile_bin,
         "a_corr_matrix": q_corr_matrix,
+        "d_bloom_prune": q_bloom_prune,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1452,8 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_sessionize": q_sessionize,
         "j_asof_events": q_asof_events,
         "t_repetition": q_repetition,
-        "j_asof_orders_strict": q_asof_orders_strict,
         # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "j_asof_orders_strict": q_asof_orders_strict,
         "a_top_event": q_top_event,
         "a_znorm": q_znorm,
         "a_rollup": q_rollup,
@@ -2934,6 +2954,48 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        # the bloom build (position -> 32-bit-packed words) and the
+        # 2-hash probe replay bit-for-bit; FP rows are part of the gate
+        "d_bloom_prune": """
+            WITH bench AS (
+              SELECT text FROM documents
+              WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            ), pos AS (
+              SELECT (('0x' || substr(md5(cast(i AS varchar) || ':' || text),
+                       1, 15))::BIGINT % 1024) AS p
+              FROM bench CROSS JOIN
+                   (SELECT unnest(generate_series(0, 1)) AS i) t
+            ), w AS (
+              SELECT p // 32 AS w,
+                     bit_or(1::BIGINT << cast(p % 32 AS int)) AS bits
+              FROM pos GROUP BY 1
+            ), bm AS (
+              SELECT map_from_entries(array_agg({'k': w, 'v': bits})) AS wm
+              FROM w
+            ), bloom AS (
+              SELECT list_transform(generate_series(0, 31),
+                       x -> coalesce(map_extract(wm, x)[1], 0)) AS words
+              FROM bm
+            )
+            SELECT d.doc_id,
+              CASE WHEN d.text IS NULL THEN false ELSE
+                ((words[cast(
+                    (('0x' || substr(md5('0:' || d.text), 1, 15))::BIGINT
+                     % 1024) // 32 AS int) + 1]
+                  & (1::BIGINT << cast(
+                    (('0x' || substr(md5('0:' || d.text), 1, 15))::BIGINT
+                     % 1024) % 32 AS int))) <> 0)
+                AND
+                ((words[cast(
+                    (('0x' || substr(md5('1:' || d.text), 1, 15))::BIGINT
+                     % 1024) // 32 AS int) + 1]
+                  & (1::BIGINT << cast(
+                    (('0x' || substr(md5('1:' || d.text), 1, 15))::BIGINT
+                     % 1024) % 32 AS int))) <> 0)
+              END AS bloom_hit,
+              d.doc_id % 7 = 0 AS exact_hit
+            FROM documents d CROSS JOIN bloom
         """,
         "w_decayed": f"""
             WITH h AS (
