@@ -1032,6 +1032,59 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user: stage i strictly
+    after the first-reach of stage i-1, one hash exchange + unordered
+    window chain (no sorts).  Stage timestamps emitted as epoch
+    micros."""
+    from topo_descriptors_spark.operators import features as FE
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = FE.funnel(ev, "user_id", "ts", "event_type", FUNNEL_STAGES)
+    return out.select(
+        "user_id",
+        *[
+            F.unix_micros(F.col(f"stage{i+1}_{s}")).alias(f"t_{s}")
+            for i, s in enumerate(FUNNEL_STAGES)
+        ],
+    )
+
+
+def q_stratified_split(spark, sf_dir):
+    """Per-stratum deterministic splitting with independent hash
+    streams per stratum and a default fallback."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    out = P.stratified_split(
+        _docs(spark, sf_dir), STRAT_WEIGHTS,
+        default_weights=STRAT_DEFAULT,
+    )
+    return out.select("doc_id", "source", "split")
+
+
+def q_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling per event_type (exact percentiles,
+    broadcast join back, map-only scaling)."""
+    from topo_descriptors_spark.operators import features as FE
+
+    out = FE.robust_scale(_events(spark, sf_dir), "value",
+                          group_by="event_type")
+    return out.select("event_id", "event_type", _r("rz").alias("rz"))
+
+
+def q_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution (two
+    map-side-combinable aggregations, output one row per entity)."""
+    from topo_descriptors_spark.operators import features as FE
+
+    out = FE.group_entropy(_events(spark, sf_dir), "user_id", "event_type")
+    return out.select(
+        "user_id", "n_events", _r("entropy").alias("entropy")
+    )
+
+
 def q_bloom_prune(spark, sf_dir):
     """Portable Bloom filter (bloom.py): build a 1024-bit/2-hash bitset
     over a deterministic 'benchmark' subset (doc_id % 7 = 0), broadcast
@@ -1077,6 +1130,13 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 MIX_RATES = {"src0": 0.25, "src1": 0.75, "src2": 0.0}
 MIX_DEFAULT = 0.5
 PACK_MAX_TOKENS = 512
+STRAT_WEIGHTS = {
+    "src0": {"train": 0.8, "val": 0.1, "test": 0.1},
+    "src1": {"train": 0.5, "val": 0.5},
+    "src2": {"train": 0.99, "heldout": 0.01},
+}
+STRAT_DEFAULT = {"train": 0.9, "test": 0.1}
+FUNNEL_STAGES = ("view", "click", "purchase")
 
 
 def q_hash_split(spark, sf_dir):
@@ -1455,6 +1515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_quantile_bin": q_quantile_bin,
         "a_corr_matrix": q_corr_matrix,
         "d_bloom_prune": q_bloom_prune,
+        "a_funnel": q_funnel,
+        "p_stratified_split": q_stratified_split,
+        "a_robust_scale": q_robust_scale,
+        "a_entropy": q_entropy,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1468,11 +1532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
         "w_gradient": q_gradient,
+        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "w_backfill": q_backfill,
         "w_sessionize": q_sessionize,
         "j_asof_events": q_asof_events,
         "t_repetition": q_repetition,
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "j_asof_orders_strict": q_asof_orders_strict,
         "a_top_event": q_top_event,
         "a_znorm": q_znorm,
@@ -1687,6 +1751,23 @@ def _p_mix_sql() -> str:
         f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in MIX_RATES.items()
     ) + f" ELSE {float(MIX_DEFAULT)!r} END"
     return f"SELECT doc_id, source FROM documents WHERE {u} < {rate}"
+
+
+def _p_strat_sql() -> str:
+    from topo_descriptors_spark.operators.pipeline import split_thresholds
+
+    def chain(salt: str, weights: dict[str, float]) -> str:
+        u = _d_unit_hash("doc_id::VARCHAR", salt)
+        c = "CASE "
+        for name, bound in split_thresholds(weights):
+            c += f"WHEN {u} < {bound!r} THEN '{name}' "
+        return c + "END"
+
+    case = "CASE "
+    for s, w in STRAT_WEIGHTS.items():
+        case += f"WHEN source = '{s}' THEN ({chain(f'strat:{s}', w)}) "
+    case += f"ELSE ({chain('strat:@default', STRAT_DEFAULT)}) END"
+    return f"SELECT doc_id, source, {case} AS split FROM documents"
 
 
 def _d_simhash_pairs_sql(
@@ -2954,6 +3035,54 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        # sequential-window funnel: stage i strictly after first-reach
+        # of stage i-1; NULL comparisons prune exactly as in Spark
+        "a_funnel": """
+            WITH s1 AS (
+              SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                        OVER (PARTITION BY user_id) AS t1
+              FROM events
+            ), s2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                                 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t3
+              FROM s2
+            )
+            SELECT DISTINCT user_id,
+                   epoch_us(t1) AS t_view,
+                   epoch_us(t2) AS t_click,
+                   epoch_us(t3) AS t_purchase
+            FROM s3
+        """,
+        "p_stratified_split": _p_strat_sql(),
+        "a_robust_scale": f"""
+            WITH s AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.5), {_R}) AS med,
+                     round(quantile_cont(value, 0.75)
+                           - quantile_cont(value, 0.25), {_R}) AS iqr
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round(CASE WHEN s.iqr > 0
+                         THEN (e.value - s.med) / s.iqr END, {_R}) AS rz
+            FROM events e LEFT JOIN s USING (event_type)
+        """,
+        "a_entropy": f"""
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, sum(c)::BIGINT AS n_events,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), {_R})
+                     AS entropy
+            FROM c GROUP BY user_id
         """,
         # the bloom build (position -> 32-bit-packed words) and the
         # 2-hash probe replay bit-for-bit; FP rows are part of the gate

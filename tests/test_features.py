@@ -330,3 +330,81 @@ def test_corr_matrix_single_pass_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one scan feeding one aggregate -- never a scan per pair
     assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE first view must not count; the later click does
+        (2, 5, "click"), (2, 10, "view"), (2, 50, "click"),
+        # u3: purchase before click -> funnel stops at click stage
+        (3, 1, "view"), (3, 2, "purchase"), (3, 3, "click"),
+        # u4: never views
+        (4, 9, "click"), (4, 11, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, ev string")
+    got = {
+        r["u"]: (r["stage1_view"], r["stage2_click"], r["stage3_purchase"])
+        for r in FE.funnel(df, "u", "t", "ev",
+                           ["view", "click", "purchase"]).collect()
+    }
+    assert got[1] == (10, 20, 30)
+    assert got[2] == (10, 50, None)
+    assert got[3] == (1, 3, None)  # purchase@2 predates click@3
+    assert got[4] == (None, None, None)
+    assert len(got) == 4  # one row per entity
+
+
+def test_funnel_single_exchange_plan(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    plan = FE.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the entity key; dedup reuses the partitioning
+    assert plan.count("Exchange") == 1
+    assert "Sort" not in plan or "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# robust_scale
+# ---------------------------------------------------------------------------
+
+def test_robust_scale_hand_calc(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]], "g string, v double"
+    )
+    got = {r["v"]: r["rz"] for r in
+           FE.robust_scale(df, "v", group_by="g").collect()}
+    med, iqr = 3.0, 2.0  # q25=2, q75=4 on [1,2,3,4,100]
+    assert got[100.0] == pytest.approx((100 - med) / iqr)
+    assert got[3.0] == pytest.approx(0.0)
+
+
+def test_robust_scale_zero_iqr_null(spark):
+    df = spark.createDataFrame([("a", 5.0)] * 4, "g string, v double")
+    rows = FE.robust_scale(df, "v", group_by="g").collect()
+    assert all(r["rz"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# group_entropy
+# ---------------------------------------------------------------------------
+
+def test_group_entropy_values(spark):
+    rows = (
+        [(1, "a")] * 5                       # single category -> 0
+        + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]  # uniform 4 -> ln 4
+        + [(3, "a"), (3, "a"), (3, "b"), (3, None)]  # NULL is an outcome
+    )
+    df = spark.createDataFrame(rows, "u long, c string")
+    got = {r["u"]: (r["n_events"], r["entropy"]) for r in
+           FE.group_entropy(df, "u", "c").collect()}
+    assert got[1] == (5, pytest.approx(0.0))
+    assert got[2] == (4, pytest.approx(np.log(4)))
+    p = np.array([2, 1, 1]) / 4
+    assert got[3] == (4, pytest.approx(float(-(p * np.log(p)).sum())))

@@ -36,6 +36,9 @@ __all__ = [
     "kmv_distinct",
     "quantile_bin",
     "corr_matrix",
+    "funnel",
+    "robust_scale",
+    "group_entropy",
 ]
 
 # portable across Spark and DuckDB (see text.py:23): 15 hex chars of
@@ -461,6 +464,129 @@ def quantile_bin(
         F.expr(f"size(filter(_qedges, e -> `{value}` > e))"),
     )
     return out.withColumn(out_col, b).drop("_qedges")
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel
+# ---------------------------------------------------------------------------
+
+def funnel(
+    df: DataFrame,
+    entity: str,
+    order: str,
+    event_col: str,
+    stages: Sequence[str],
+    out_prefix: str = "stage",
+) -> DataFrame:
+    """Ordered conversion funnel: per entity, the first ``order`` value
+    at which each stage is reached, where stage i must occur STRICTLY
+    after the entity's first-reach of stage i-1 (the classic
+    view→click→purchase attribution rule).  One row per entity; a NULL
+    stage timestamp means the funnel stopped there.
+
+    Scale: ONE hash exchange on the entity key feeding a chain of
+    unordered full-partition Window aggregates (no sort — the frame is
+    the whole partition) and a final same-key dedup that reuses the
+    partitioning (no second Exchange; pinned in pytest).  Nothing is
+    collected per entity, so arbitrarily hot entities stay streaming.
+    """
+    require_cols(
+        df, "funnel",
+        **{entity: "atomic", order: "orderable", event_col: "atomic"},
+    )
+    if len(stages) < 2:
+        raise ValueError("funnel: need at least 2 stages")
+    cols = []
+    out = df
+    w = Window.partitionBy(entity)
+    prev: str | None = None
+    for i, s in enumerate(stages):
+        cname = f"{out_prefix}{i + 1}_{s}"
+        if cname in df.columns:
+            raise ValueError(f"funnel: output column {cname!r} already in input")
+        hit = F.col(event_col) == F.lit(s)
+        if prev is not None:
+            hit = hit & (F.col(order) > F.col(prev))
+        out = out.withColumn(cname, F.min(F.when(hit, F.col(order))).over(w))
+        cols.append(cname)
+        prev = cname
+    return out.select(entity, *cols).dropDuplicates([entity])
+
+
+# ---------------------------------------------------------------------------
+# robust scaling
+# ---------------------------------------------------------------------------
+
+def robust_scale(
+    df: DataFrame,
+    value: str,
+    group_by: str | None = None,
+    out_col: str = "rz",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Robust z-score: ``(x - median) / IQR`` per group (or globally) —
+    the outlier-resistant scaler feature pipelines use where mean/std
+    would chase heavy tails.  Zero IQR yields NULL.  Median and IQR are
+    exact interpolated percentiles ROUNDED to ``round_dp`` before the
+    division so the statistics are bit-identical across engines.
+
+    Scale: one exact-percentile aggregate (group-cardinality-sized)
+    broadcast back onto the table — map-only scaling, zero corpus
+    shuffles (same shape as :func:`quantile_bin`).
+    """
+    require_cols(df, "robust_scale", **{value: "numeric"})
+    if group_by is not None:
+        require_cols(df, "robust_scale", **{group_by: "atomic"})
+    for c in ("_med", "_iqr", out_col):
+        if c in df.columns:
+            raise ValueError(f"robust_scale: reserved column {c!r} in input")
+    dp = int(round_dp)
+    pexpr = F.expr(f"percentile(`{value}`, array(0.25, 0.5, 0.75))")
+    aggs = [
+        F.round(pexpr[1], dp).alias("_med"),
+        F.round(pexpr[2] - pexpr[0], dp).alias("_iqr"),
+    ]
+    if group_by is None:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(group_by).agg(*aggs)
+        out = df.join(F.broadcast(stats), on=group_by, how="left")
+    rz = F.when(
+        F.col("_iqr") > 0, (F.col(value) - F.col("_med")) / F.col("_iqr")
+    )
+    return out.withColumn(out_col, rz).drop("_med", "_iqr")
+
+
+# ---------------------------------------------------------------------------
+# categorical entropy
+# ---------------------------------------------------------------------------
+
+def group_entropy(
+    df: DataFrame,
+    entity: str,
+    category: str,
+    out_col: str = "entropy",
+) -> DataFrame:
+    """Shannon entropy (nats) of each entity's ``category``
+    distribution — the diversity feature for behavioral profiling
+    (H = ln N - Σ c·ln c / N over category counts c).  NULL categories
+    count as their own outcome; single-category entities get exactly
+    0.0.
+
+    Scale: two aggregations, both with map-side combine — the first
+    keys on (entity, category) [bounded by entities x alphabet], the
+    second on entity.  The corpus is never joined back; output is one
+    row per entity.
+    """
+    require_cols(df, "group_entropy", **{entity: "atomic", category: "atomic"})
+    counts = df.groupBy(entity, category).agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c")
+    clogc = F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double")))
+    return counts.groupBy(entity).agg(
+        n.alias("n_events"),
+        (F.log(n.cast("double")) - clogc / n.cast("double")).alias(out_col),
+    )
 
 
 # ---------------------------------------------------------------------------

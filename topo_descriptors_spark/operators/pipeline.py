@@ -92,6 +92,54 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def stratified_split(
+    df: DataFrame,
+    weights_by_stratum: dict[str, dict[str, float]],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    out: str = "split",
+    default_weights: dict[str, float] | None = None,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic splitting: each stratum gets its OWN
+    split proportions (e.g. hold out 20% of web but only 1% of the
+    scarce books source), with an independent hash stream per stratum
+    (the salt folds the stratum name in) so one stratum's assignment
+    never correlates with another's.
+
+    Rows whose stratum has no entry fall back to ``default_weights``
+    (NULL split if none given — surfaced, not silently bucketed).
+
+    Scale: identical to :func:`hash_split` — a per-row hash comparison
+    against literal thresholds, shuffle-free, stable under re-runs and
+    repartitioning.
+    """
+    require_cols(df, "stratified_split",
+                 **{id_col: "atomic", stratum_col: "atomic"})
+    if not weights_by_stratum:
+        raise ValueError("stratified_split: weights_by_stratum is empty")
+
+    def chain(u, weights):
+        e = None
+        for name, bound in split_thresholds(weights):
+            cond = u < F.lit(bound)
+            e = F.when(cond, F.lit(name)) if e is None else e.when(
+                cond, F.lit(name)
+            )
+        return e
+
+    expr = None
+    for stratum, w in weights_by_stratum.items():
+        branch = chain(unit_hash_col(id_col, f"{salt}:{stratum}"), w)
+        cond = F.col(stratum_col) == F.lit(stratum)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    if default_weights is not None:
+        expr = expr.otherwise(
+            chain(unit_hash_col(id_col, f"{salt}:@default"), default_weights)
+        )
+    return df.withColumn(out, expr)
+
+
 def sample_by_source(
     df: DataFrame,
     rates: dict[str, float],
