@@ -1032,6 +1032,17 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram LM quality proxy (add-1 smoothing, exact uncapped model):
+    in-row pairing, vocabulary-sized shuffles only."""
+    from topo_descriptors_spark.operators import text as T
+
+    out = T.bigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bigrams", _r("neg_logprob2").alias("neg_logprob2")
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel per user: stage i strictly
     after the first-reach of stage i-1, one hash exchange + unordered
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_stratified_split": q_stratified_split,
         "a_robust_scale": q_robust_scale,
         "a_entropy": q_entropy,
+        "t_bigram_logprob": q_bigram_logprob,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1531,8 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
-        "w_gradient": q_gradient,
         # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "w_gradient": q_gradient,
         "w_backfill": q_backfill,
         "w_sessionize": q_sessionize,
         "j_asof_events": q_asof_events,
@@ -3035,6 +3047,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        "t_bigram_logprob": f"""
+            WITH tk AS (SELECT doc_id, {_DW} AS wl FROM documents),
+            bg AS (
+              SELECT doc_id, unnest(CASE WHEN len(wl) >= 2 THEN
+                list_transform(generate_series(2, len(wl)),
+                  i -> {{'p': lower(wl[i-1]), 'c': lower(wl[i])}})
+                ELSE [] END) AS pc
+              FROM tk
+            ),
+            b AS (SELECT doc_id, pc.p AS p, pc.c AS c FROM bg),
+            c2 AS (SELECT p, c, count(*)::DOUBLE AS c2 FROM b GROUP BY 1, 2),
+            c1 AS (SELECT p, count(*)::DOUBLE AS c1 FROM b GROUP BY 1),
+            v AS (SELECT count(DISTINCT c)::DOUBLE AS v FROM b),
+            s AS (
+              SELECT doc_id,
+                     -ln((coalesce(c2.c2, 0) + 1.0)
+                         / (coalesce(c1.c1, 0) + 1.0 * v.v)) AS lp
+              FROM b LEFT JOIN c2 USING (p, c) LEFT JOIN c1 USING (p)
+              CROSS JOIN v
+            ),
+            pd AS (SELECT doc_id, avg(lp) AS nlp, count(*)::BIGINT AS nb
+                   FROM s GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(pd.nb, 0)::BIGINT AS n_bigrams,
+                   round(pd.nlp, {_R}) AS neg_logprob2
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         # sequential-window funnel: stage i strictly after first-reach
         # of stage i-1; NULL comparisons prune exactly as in Spark

@@ -645,3 +645,52 @@ def test_select_canonical_longest_wins_ties_to_lowest_id(spark):
         .toPandas().set_index("doc_id").sort_index()
     )
     assert out_q.loc[1, "is_canonical"] and out_q.loc[2, "canonical_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_hand_calc(spark):
+    import math
+
+    import pytest as _pt
+    from topo_descriptors_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["neg_logprob2"]) for r in
+           bigram_logprob(df).collect()}
+    # corpus bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b)
+    # C2(a,b)=3, C2(b,a)=1; C1(a)=3, C1(b)=1; V = |{a,b}| = 2
+    p_ab = (3 + 1) / (3 + 2)
+    p_ba = (1 + 1) / (1 + 2)
+    d1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    assert got[1][0] == 3
+    assert got[1][1] == _pt.approx(d1)
+    assert got[2] == (1, _pt.approx(-math.log(p_ab)))
+    # <2 words / NULL text -> zero bigrams, NULL score (doc still present)
+    assert got[3] == (0, None)
+    assert got[4] == (0, None)
+
+
+def test_bigram_logprob_min_count_floor(spark):
+    import math
+
+    import pytest as _pt
+    from topo_descriptors_spark.operators.text import bigram_logprob
+
+    # (b,a) occurs once -> dropped by min_count=2 -> scores the floor
+    # k/(C1+kV); (a,b) stays in-model with UNCHANGED probability
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["neg_logprob2"] for r in
+           bigram_logprob(df, min_count=2).collect()}
+    p_ab = (3 + 1) / (3 + 2)
+    floor_ba = 1.0 / (1 + 2)  # (0 + k) / (C1(b) + kV)
+    d1 = -(math.log(p_ab) * 2 + math.log(floor_ba)) / 3
+    assert got[1] == _pt.approx(d1)
+    assert got[2] == _pt.approx(-math.log(p_ab))

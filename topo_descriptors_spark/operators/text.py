@@ -541,3 +541,89 @@ def dedup_lines(
         )
         .drop("_larr", "_stop", "_stop_n", "_kept")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "neg_logprob2",
+    min_count: int = 1,
+    smoothing: float = 1.0,
+    broadcast_model: bool | str = "auto",
+) -> DataFrame:
+    """Bigram language-model quality proxy: per doc, the mean negative
+    log-probability of each word given its predecessor under the CORPUS
+    bigram model with add-k smoothing —
+
+        P(c | p) = (C2(p,c) + k) / (C1(p) + k·V)
+
+    where C2 is the bigram count, C1(p) the count of p as a bigram
+    CONTEXT, and V the distinct-successor vocabulary size.  Catches
+    word-salad that unigram statistics miss (every word common, no pair
+    ever seen together).  Docs with fewer than 2 words return NULL.
+
+    Scale (the unigram_logprob story, one order up): bigram pairing is
+    IN-ROW (array index arithmetic — no window, no per-doc sort); the
+    shuffles carry the bigram/context vocabularies, never the corpus.
+    The bigram table grows faster than the unigram vocab, so the same
+    safety valve applies: ``min_count`` drops rare bigrams from the
+    model (they score through the smoothing floor; context counts and V
+    are NEVER capped, so in-model probabilities are unchanged) and
+    ``broadcast_model="auto"`` broadcasts the model tables only when a
+    cap bounds them.
+    """
+    require_cols(df, "bigram_logprob", **{id_col: "atomic", text: "string"})
+    capped = int(min_count) > 1
+    do_broadcast = capped if broadcast_model == "auto" else bool(broadcast_model)
+    k = float(smoothing)
+
+    w = with_words(df.select(id_col, text), text, "_bw")
+    # CASE guard: sequence(2, n) DESCENDS for n < 2 (step defaults to
+    # -1), which would index element_at out of range under ANSI
+    pairs = (
+        "case when size(_bw) >= 2 then "
+        "transform(sequence(2, size(_bw)), "
+        "i -> named_struct('p', lower(element_at(_bw, i - 1)), "
+        "'c', lower(element_at(_bw, i)))) "
+        "else array() end"
+    )
+    b = (
+        w.withColumn("_bp", F.expr(pairs))
+        .select(id_col, F.explode_outer("_bp").alias("_pc"))
+        .where(F.col("_pc").isNotNull())
+        .select(id_col, F.col("_pc.p").alias("_p"), F.col("_pc.c").alias("_c"))
+    )
+    c2 = b.groupBy("_p", "_c").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = b.groupBy("_p").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = b.agg(F.count_distinct("_c").cast("double").alias("_v"))
+    if capped:
+        c2 = c2.where(F.col("_c2") >= F.lit(int(min_count)))
+    if do_broadcast:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    scored = (
+        b.join(c2, ["_p", "_c"], "left")
+        .join(c1, "_p", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            -F.log(
+                (F.coalesce(F.col("_c2"), F.lit(0.0)) + F.lit(k))
+                / (F.coalesce(F.col("_c1"), F.lit(0.0)) + F.lit(k) * F.col("_v"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.avg("_lp").alias(out),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col(out),
+        )
+    )
