@@ -1032,6 +1032,20 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (exponential
+    race, priority = -ln(u)/w): TakeOrderedAndProject top-k, no corpus
+    shuffle.  Weight = n_chars; the k smallest priorities replay
+    exactly in SQL."""
+    from topo_descriptors_spark.operators import pipeline as P
+
+    out = P.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        k=100, weight_col="n_chars", priority_col="priority",
+    )
+    return out.select("doc_id", _r("priority").alias("priority"))
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Bigram LM quality proxy (add-1 smoothing, exact uncapped model):
     in-row pairing, vocabulary-sized shuffles only."""
@@ -1531,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_robust_scale": q_robust_scale,
         "a_entropy": q_entropy,
         "t_bigram_logprob": q_bigram_logprob,
+        "p_weighted_sample": q_weighted_sample,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1542,8 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- unchanged, rotating through the remaining window slots --
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
-        "w_gaussian_ma": q_gaussian_ma,
         # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "w_gaussian_ma": q_gaussian_ma,
         "w_gradient": q_gradient,
         "w_backfill": q_backfill,
         "w_sessionize": q_sessionize,
@@ -3047,6 +3062,16 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        "p_weighted_sample": f"""
+            SELECT doc_id, round(pr, {_R}) AS priority FROM (
+              SELECT doc_id,
+                     -ln({_d_unit_hash("doc_id::VARCHAR", "ws")})
+                       / n_chars AS pr
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) t
+            ORDER BY pr ASC, doc_id ASC LIMIT 100
         """,
         "t_bigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_DW} AS wl FROM documents),

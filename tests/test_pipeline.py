@@ -227,3 +227,65 @@ def test_token_budget_mixture_rates_and_determinism(spark):
     a = out.sort_values("doc_id")["keep"].to_numpy()
     b = again.sort_values("doc_id")["keep"].to_numpy()
     assert (a == b).all()
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_python_race(spark):
+    import hashlib
+    import math
+
+    from topo_descriptors_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, k=20, weight_col="w").collect()]
+
+    def u(i):
+        h = int(hashlib.md5(f"{i}ws".encode()).hexdigest()[:15], 16)
+        return h / float(1 << 60)
+
+    pri = sorted((-math.log(u(i)) / w, i) for i, w in rows)
+    assert got == [i for _, i in pri[:20]]
+
+
+def test_weighted_sample_weight_bias(spark):
+    from topo_descriptors_spark.operators.pipeline import weighted_sample
+
+    # two weight classes; the heavy class must dominate the sample
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, k=100, weight_col="w").collect()]
+    heavy = sum(1 for i in got if i < 500)
+    assert heavy > 75  # E[heavy] ~ 91 of 100
+
+
+def test_weighted_sample_excludes_nonpositive_and_stable(spark):
+    from topo_descriptors_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample(df, k=10, weight_col="w").collect())
+    assert got == [1, 5]
+    # repartitioning must not change the selection
+    got2 = sorted(r["doc_id"] for r in
+                  weighted_sample(df.repartition(5), k=10,
+                                  weight_col="w").collect())
+    assert got == got2
+
+
+def test_weighted_sample_topk_plan(spark, sf_dir):
+    from topo_descriptors_spark.operators.pipeline import weighted_sample
+    from topo_descriptors_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = weighted_sample(docs, k=50, weight_col="n_chars")._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a full sort

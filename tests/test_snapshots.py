@@ -224,3 +224,37 @@ def test_expire_snapshots_surfaces_failed_deletions(spark, table_dir, monkeypatc
     for d in rep["failed_dirs"]:
         real_rmtree(os.path.join(table_dir, d))
         assert not os.path.exists(os.path.join(table_dir, d))
+
+
+def test_read_incremental_appends(spark, tmp_path):
+    from topo_descriptors_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1,), (2,)], "x long")
+    b = spark.createDataFrame([(3,)], "x long")
+    c = spark.createDataFrame([(4,), (5,)], "x long")
+    v1 = S.write_snapshot(a, t)
+    v2 = S.write_snapshot(b, t)
+    v3 = S.write_snapshot(c, t)
+
+    got = sorted(r["x"] for r in S.read_incremental(spark, t, v1).collect())
+    assert got == [3, 4, 5]  # delta v1 -> CURRENT
+    got = sorted(r["x"] for r in S.read_incremental(spark, t, v2, v3).collect())
+    assert got == [4, 5]
+    # equal versions -> empty, schema preserved
+    empty = S.read_incremental(spark, t, v3, v3)
+    assert empty.count() == 0 and empty.schema == a.schema
+
+
+def test_read_incremental_rejects_non_append(spark, tmp_path):
+    import pytest as _pt
+
+    from topo_descriptors_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl2")
+    v1 = S.write_snapshot(spark.createDataFrame([(1,)], "x long"), t)
+    S.write_snapshot(
+        spark.createDataFrame([(9,)], "x long"), t, mode="overwrite"
+    )
+    with _pt.raises(ValueError, match="append-only"):
+        S.read_incremental(spark, t, v1)

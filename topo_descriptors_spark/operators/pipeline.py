@@ -422,3 +422,41 @@ def token_budget_mixture(
     d = df.join(F.broadcast(rates), source)
     kept = unit_hash_col(id_col, salt) < F.col("rate")
     return d.withColumn("keep", kept).drop("_tot")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis exponential race): each row gets priority
+    ``-ln(u) / w`` with ``u`` its portable unit hash; the k smallest
+    priorities are exactly a w-weighted sample without replacement —
+    the reproducible version of quality-weighted corpus subsetting.
+    Rows with NULL or non-positive weight are excluded (they can never
+    be drawn).  Ties (astronomically unlikely on continuous hashes)
+    break on id.
+
+    Scale: ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject
+    — each partition keeps its own top-k and the driver merges k-sized
+    heaps; no full sort, no corpus shuffle, rerun/repartition-stable.
+    """
+    require_cols(df, "weighted_sample",
+                 **{id_col: "atomic", weight_col: "numeric"})
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+    pc = priority_col or "_ws_priority"
+    if pc in df.columns:
+        raise ValueError(f"weighted_sample: column {pc!r} already in input")
+    u = unit_hash_col(id_col, salt)
+    out = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(pc, -F.log(u) / F.col(weight_col).cast("double"))
+        .orderBy(F.col(pc).asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    return out if priority_col else out.drop(pc)

@@ -276,3 +276,40 @@ def expire_snapshots(
         "kept_versions": sorted(keep),
         "failed_dirs": failed,
     }
+
+
+def read_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-style incremental read: ONLY the rows appended between
+    ``from_version`` (exclusive) and ``to_version`` (inclusive,
+    default CURRENT) — the consumer pattern for downstream jobs that
+    process a table's delta instead of re-scanning it.
+
+    The delta is computed manifest-side as the data dirs present at
+    ``to_version`` but not at ``from_version`` — a metadata-only diff,
+    no data listing.  Raises when the interval is not append-only (an
+    overwrite or a rollback branch between the versions: the delta is
+    then not expressible as added files — the caller must full-rescan),
+    detected as ``from``'s dirs not being a subset of ``to``'s.  Equal
+    versions return an empty DataFrame with the table schema.
+    """
+    mt = read_manifest(table_dir, to_version)
+    mf = read_manifest(table_dir, from_version)
+    old, new = set(mf["data_dirs"]), list(mt["data_dirs"])
+    if not old.issubset(set(new)):
+        raise ValueError(
+            f"read_incremental: v{mf['version']}..v{mt['version']} is not "
+            "an append-only delta (overwrite or rollback branch in "
+            "between); re-read the full snapshot instead"
+        )
+    delta = [d for d in new if d not in old]
+    schema = StructType.fromJson(mt["schema"])
+    if not delta:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, d) for d in delta]
+    )
