@@ -225,6 +225,7 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "e_target_encode",
         "t_hash_vectorize",
         "w_rolling_quantiles",
+        "t_bigram_logprob",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate
