@@ -1032,6 +1032,19 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap (top-5 docs per source by n_chars): rank<=n
+    compiles with a PARTIAL WindowGroupLimit below the exchange, so hot
+    domains ship n rows per map task, never their full page count
+    (plan-pinned in pytest)."""
+    from topo_descriptors_spark.operators.pipeline import cap_per_group
+
+    out = cap_per_group(
+        _docs(spark, sf_dir), "source", 5, "n_chars", tiebreak="doc_id"
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (exponential
     race, priority = -ln(u)/w): TakeOrderedAndProject top-k, no corpus
@@ -1546,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_entropy": q_entropy,
         "t_bigram_logprob": q_bigram_logprob,
         "p_weighted_sample": q_weighted_sample,
+        "d_domain_cap": q_domain_cap,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1556,8 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_near_dup": q_near_dup,
         # -- unchanged, rotating through the remaining window slots --
         "w_tpi_multiscale": q_tpi_multiscale,
-        "w_rolling_std": q_rolling_std,
         # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
         "w_gradient": q_gradient,
         "w_backfill": q_backfill,
@@ -3062,6 +3076,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        "d_domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents) t
+            WHERE rk <= 5
         """,
         "p_weighted_sample": f"""
             SELECT doc_id, round(pr, {_R}) AS priority FROM (

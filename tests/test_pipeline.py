@@ -289,3 +289,46 @@ def test_weighted_sample_topk_plan(spark, sf_dir):
     plan = weighted_sample(docs, k=50, weight_col="n_chars")._jdf\
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a full sort
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group
+# ---------------------------------------------------------------------------
+
+def test_cap_per_group_semantics(spark):
+    from topo_descriptors_spark.operators.pipeline import cap_per_group
+
+    rows = [(i, "d%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score double")
+    got = cap_per_group(df, "domain", 2, "score", tiebreak="doc_id",
+                        keep_rank=True).toPandas()
+    # exactly 2 per group, and they are the 2 highest scores
+    assert (got.groupby("domain").size() == 2).all()
+    for d, g in got.groupby("domain"):
+        best = sorted((r for r in rows if r[1] == d),
+                      key=lambda r: -r[2])[:2]
+        assert sorted(g.doc_id) == sorted(r[0] for r in best)
+    assert set(got._cap_rank) == {1, 2}
+
+
+def test_cap_per_group_partial_group_limit_plan(spark, sf_dir):
+    from topo_descriptors_spark.operators.pipeline import cap_per_group
+    from topo_descriptors_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = cap_per_group(docs, "source", 5, "n_chars", tiebreak="doc_id")\
+        ._jdf.queryExecution().executedPlan().toString()
+    # the map-side pre-prune must sit BELOW the exchange
+    assert "WindowGroupLimit" in plan
+    assert plan.index("Partial") > plan.index("Exchange")  # Partial deeper
+
+
+def test_cap_per_group_validation(spark, sf_dir):
+    import pytest as _pt
+
+    from topo_descriptors_spark.operators.pipeline import cap_per_group
+    from topo_descriptors_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    with _pt.raises(ValueError, match="positive"):
+        cap_per_group(docs, "source", 0, "n_chars")

@@ -460,3 +460,41 @@ def weighted_sample(
         .limit(int(k))
     )
     return out if priority_col else out.drop(pc)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: str,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first by ``order_by`` —
+    the per-domain cap every web corpus applies so one host cannot
+    dominate the mixture (and the generic "top-N documents per key"
+    primitive).  ``tiebreak`` makes the cutoff deterministic when
+    ``order_by`` ties (REQUIRED for reproducible corpora; defaults to
+    ``order_by`` alone, which is only deterministic if unique).
+
+    Scale: rank<=n over a window compiles with a ``WindowGroupLimit``
+    below the shuffle (Spark 3.5+): every partition pre-prunes to its
+    own per-group top-n BEFORE the exchange, so the shuffle carries at
+    most n rows per (partition, group) — hot domains with 10^8 pages
+    ship n rows per map task, not 10^8.  Pinned in pytest.
+    """
+    require_cols(df, "cap_per_group",
+                 **{group_col: "atomic", order_by: "orderable"})
+    if n <= 0:
+        raise ValueError("cap_per_group: n must be positive")
+    if "_cap_rank" in df.columns:
+        raise ValueError("cap_per_group: reserved column '_cap_rank' in input")
+    ob = [F.col(order_by).desc() if descending else F.col(order_by).asc()]
+    if tiebreak:
+        ob.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(group_col).orderBy(*ob)
+    out = df.withColumn("_cap_rank", F.row_number().over(w)).where(
+        F.col("_cap_rank") <= int(n)
+    )
+    return out if keep_rank else out.drop("_cap_rank")
