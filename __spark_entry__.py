@@ -1032,6 +1032,16 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_fuzzy_ed1(spark, sf_dir):
+    """Edit-distance<=1 near-dup pairs on 24-char text prefixes via
+    deletion-neighborhood (FastSS) blocking: variants, hash join,
+    bucket cap, and the exact levenshtein verify all replay in SQL."""
+    from topo_descriptors_spark.operators.dedup import fuzzy_pairs_ed1
+
+    return fuzzy_pairs_ed1(_docs(spark, sf_dir), "text", truncate_to=24,
+                           max_df=100)
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain cap (top-5 docs per source by n_chars): rank<=n
     compiles with a PARTIAL WindowGroupLimit below the exchange, so hot
@@ -1560,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bigram_logprob": q_bigram_logprob,
         "p_weighted_sample": q_weighted_sample,
         "d_domain_cap": q_domain_cap,
+        "d_fuzzy_ed1": q_fuzzy_ed1,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1569,8 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivf_topk": q_ivf_topk,
         "s_near_dup": q_near_dup,
         # -- unchanged, rotating through the remaining window slots --
-        "w_tpi_multiscale": q_tpi_multiscale,
         # -- past the 50-row window: all green in CORRECTNESS_r03.json --
+        "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
         "w_gradient": q_gradient,
@@ -3076,6 +3087,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        "d_fuzzy_ed1": """
+            WITH base AS (
+              SELECT doc_id AS fid, substr(text, 1, 24) AS fs
+              FROM documents WHERE text IS NOT NULL
+            ), v AS (
+              SELECT fid, fs, unnest(list_distinct(list_append(
+                CASE WHEN length(fs) >= 1 THEN
+                  list_transform(generate_series(1, length(fs)),
+                    i -> substr(fs, 1, i - 1) || substr(fs, i + 1))
+                ELSE [] END, fs))) AS var
+              FROM base
+            ), h AS (
+              SELECT DISTINCT fid, fs,
+                     ('0x' || substr(md5(var), 1, 15))::BIGINT AS vh
+              FROM v
+            ), hot AS (
+              SELECT vh FROM (SELECT vh, count(*) AS c FROM h GROUP BY vh) t
+              WHERE c > 100
+            ), hh AS (
+              SELECT * FROM h WHERE vh NOT IN (SELECT vh FROM hot)
+            ), cand AS (
+              SELECT DISTINCT a.fid AS id_a, b.fid AS id_b,
+                     a.fs AS sa, b.fs AS sb
+              FROM hh a JOIN hh b USING (vh) WHERE a.fid < b.fid
+            )
+            SELECT id_a, id_b, levenshtein(sa, sb)::BIGINT AS dist
+            FROM cand WHERE levenshtein(sa, sb) <= 1
         """,
         "d_domain_cap": """
             SELECT doc_id, source, n_chars FROM (

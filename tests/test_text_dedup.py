@@ -694,3 +694,80 @@ def test_bigram_logprob_min_count_floor(spark):
     d1 = -(math.log(p_ab) * 2 + math.log(floor_ba)) / 3
     assert got[1] == _pt.approx(d1)
     assert got[2] == _pt.approx(-math.log(p_ab))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs_ed1 (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_ed1_all_edit_kinds(spark):
+    from topo_descriptors_spark.operators.dedup import fuzzy_pairs_ed1
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello"), (2, "hello"),    # identical (dist 0)
+            (3, "hallo"),                  # substitution vs 1/2
+            (4, "helo"),                   # deletion vs 1/2 and vs 3? no
+            (5, "hello!"),                 # insertion vs 1/2
+            (6, "world"),                  # unrelated
+            (7, None),                     # null excluded
+        ],
+        "doc_id long, s string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           fuzzy_pairs_ed1(df, "s").collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1   # substitution
+    assert got[(1, 4)] == 1 and got[(2, 4)] == 1   # deletion
+    assert got[(1, 5)] == 1 and got[(2, 5)] == 1   # insertion
+    assert not any(6 in p or 7 in p for p in got)
+    # blocking admits ED-2 candidates (e.g. halo vs hello via shared
+    # variant chains) but the exact verify must reject them
+    assert all(d <= 1 for d in got.values())
+
+
+def test_fuzzy_ed1_exactness_vs_naive(spark):
+    """Blocking+verify must equal the naive quadratic ED<=1 join."""
+    import itertools
+
+    import numpy as np
+
+    from topo_descriptors_spark.operators.dedup import fuzzy_pairs_ed1
+
+    rng = np.random.RandomState(5)
+    alphabet = "abc"
+    strs = ["".join(rng.choice(list(alphabet), rng.randint(1, 6)))
+            for _ in range(60)]
+    df = spark.createDataFrame(list(enumerate(strs)), "doc_id long, s string")
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 fuzzy_pairs_ed1(df, "s", max_df=10**6).collect())
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    exp = sorted(
+        (i, j) for (i, a), (j, b) in
+        itertools.combinations(enumerate(strs), 2) if ed(a, b) <= 1
+    )
+    assert got == exp
+
+
+def test_fuzzy_ed1_max_df_caps_megacluster(spark):
+    from topo_descriptors_spark.operators.dedup import fuzzy_pairs_ed1
+
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(50)] + [(100, "rare"), (101, "rarex")],
+        "doc_id long, s string",
+    )
+    got = [(r["id_a"], r["id_b"]) for r in
+           fuzzy_pairs_ed1(df, "s", max_df=10).collect()]
+    # the 50-row identical cluster is capped out (would be 1225 pairs);
+    # the small pair survives
+    assert got == [(100, 101)]

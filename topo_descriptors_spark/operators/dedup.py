@@ -645,3 +645,75 @@ def select_canonical(
         .withColumn("is_canonical", F.col("_cr") == 1)
         .drop("_cr")
     )
+
+
+def fuzzy_pairs_ed1(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    max_df: int = 100,
+    truncate_to: int | None = None,
+) -> DataFrame:
+    """Character-level near-duplicate pairs at edit distance <= 1 via
+    deletion-neighborhood blocking (FastSS): two strings are within one
+    edit iff they share a member of {s} ∪ {s minus one char}, so the
+    all-pairs problem becomes variant-hash equi-join + exact
+    ``levenshtein`` verification on the (tiny) candidate set.  The
+    char-level complement to the token-level MinHash/SimHash family —
+    catches typo-variant titles/URLs those miss.
+
+    Scale: each row explodes into len+1 variants (use SHORT keys —
+    titles, URLs, fixed prefixes; ``truncate_to`` applies an explicit
+    prefix cut first), hashed to 8-byte join keys.  ``max_df`` drops
+    variant buckets shared by more than that many rows before the
+    self-join (the stop-shingle convention, dedup.py:ngram_jaccard) so
+    a mega-cluster of identical strings cannot go quadratic silently —
+    capped buckets mean those pair lists are truncated, documented not
+    hidden.  Output: (id_a, id_b, dist) with id_a < id_b, exact
+    distance, duplicates collapsed.
+    """
+    require_cols(df, "fuzzy_pairs_ed1", **{id_col: "atomic", col: "string"})
+    s = F.col(col)
+    if truncate_to is not None:
+        s = F.substring(s, 1, int(truncate_to))
+    base = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(id_col).alias("_fid"), s.alias("_fs"))
+    )
+    # {s} ∪ one-char deletions; CASE guards sequence(1, 0) descending
+    variants = (
+        "case when length(_fs) >= 1 then "
+        "array_union(array(_fs), transform(sequence(1, length(_fs)), "
+        "i -> concat(substring(_fs, 1, i - 1), "
+        "substring(_fs, i + 1, length(_fs))))) "
+        "else array(_fs) end"
+    )
+    h = PORTABLE_HASH_SQL.format(col="v")
+    ex = (
+        base.withColumn("_fv", F.expr(variants))
+        .select(
+            "_fid", "_fs",
+            F.explode_outer(F.expr(f"transform(_fv, v -> {h})")).alias("_vh"),
+        )
+        .where(F.col("_vh").isNotNull())
+        .dropDuplicates(["_fid", "_vh"])
+    )
+    hot = ex.groupBy("_vh").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") > F.lit(int(max_df))
+    )
+    ex = ex.join(F.broadcast(hot.select("_vh")), "_vh", "left_anti")
+    a = ex.select(
+        F.col("_vh"), F.col("_fid").alias("id_a"), F.col("_fs").alias("_sa")
+    )
+    b = ex.select(
+        F.col("_vh"), F.col("_fid").alias("id_b"), F.col("_fs").alias("_sb")
+    )
+    return (
+        a.join(b, "_vh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
