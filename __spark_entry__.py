@@ -1032,6 +1032,24 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_impute(spark, sf_dir):
+    """Group-median imputation + missing indicator.  The events table
+    has no NULLs, so 10% are masked deterministically (event_id % 10)
+    on BOTH sides — the injected-input convention from t_pii_redact."""
+    from topo_descriptors_spark.operators import features as FE
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    out = FE.impute(ev, "value", group_by="event_type", strategy="median")
+    return out.select(
+        "event_id", _r("value_filled").alias("value_filled"),
+        "value_was_null",
+    )
+
+
 def q_fuzzy_ed1(spark, sf_dir):
     """Edit-distance<=1 near-dup pairs on 24-char text prefixes via
     deletion-neighborhood (FastSS) blocking: variants, hash join,
@@ -1571,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_weighted_sample": q_weighted_sample,
         "d_domain_cap": q_domain_cap,
         "d_fuzzy_ed1": q_fuzzy_ed1,
+        "a_impute": q_impute,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1578,9 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_cosine_topk": q_cosine_topk,
         "s_ann_topk": q_ann_topk,
         "s_ivf_topk": q_ivf_topk,
+        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "s_near_dup": q_near_dup,
         # -- unchanged, rotating through the remaining window slots --
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json --
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
@@ -3087,6 +3106,23 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      corr(l_discount, l_tax) FROM lineitem
             ) u
+        """,
+        "a_impute": f"""
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 10 = 0 THEN NULL
+                          ELSE value END AS v
+              FROM events
+            ), s AS (
+              SELECT event_type, round(quantile_cont(v, 0.5), {_R}) AS f
+              FROM e GROUP BY event_type
+            ), g AS (
+              SELECT round(quantile_cont(v, 0.5), {_R}) AS gf FROM e
+            )
+            SELECT e.event_id,
+                   round(coalesce(e.v, s.f, g.gf), {_R}) AS value_filled,
+                   e.v IS NULL AS value_was_null
+            FROM e LEFT JOIN s USING (event_type) CROSS JOIN g
         """,
         "d_fuzzy_ed1": """
             WITH base AS (

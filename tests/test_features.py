@@ -408,3 +408,46 @@ def test_group_entropy_values(spark):
     assert got[2] == (4, pytest.approx(np.log(4)))
     p = np.array([2, 1, 1]) / 4
     assert got[3] == (4, pytest.approx(float(-(p * np.log(p)).sum())))
+
+
+# ---------------------------------------------------------------------------
+# impute
+# ---------------------------------------------------------------------------
+
+def test_impute_group_median_and_indicator(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None),
+         ("b", 10.0), ("b", None),
+         ("c", None)],  # all-null group -> global fallback
+        "g string, v double",
+    )
+    got = FE.impute(df, "v", group_by="g").toPandas()
+    filled = {(r.g, bool(r.v_was_null)): r.v_filled
+              for r in got.itertuples()}
+    assert filled[("a", True)] == pytest.approx(2.0)   # median(1,3)
+    assert filled[("b", True)] == pytest.approx(10.0)
+    # global median of [1,3,10] = 3
+    assert filled[("c", True)] == pytest.approx(3.0)
+    assert filled[("a", False)] in (1.0, 3.0)
+    assert got.v_was_null.sum() == 3
+
+
+def test_impute_mean_and_global(spark):
+    df = spark.createDataFrame([(2.0,), (4.0,), (None,)], "v double")
+    got = FE.impute(df, "v", strategy="mean").toPandas()
+    assert got[got.v.isna()].v_filled.iloc[0] == pytest.approx(3.0)
+
+
+def test_impute_all_null_stays_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    got = FE.impute(df, "v").toPandas()
+    assert got.v_filled.isna().all()  # surfaced, not invented
+
+
+def test_impute_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="strategy"):
+        FE.impute(df, "v", strategy="mode")
+    df2 = spark.createDataFrame([(1.0, True)], "v double, v_was_null boolean")
+    with pytest.raises(ValueError, match="v_was_null"):
+        FE.impute(df2, "v")

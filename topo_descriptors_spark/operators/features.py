@@ -39,6 +39,7 @@ __all__ = [
     "funnel",
     "robust_scale",
     "group_entropy",
+    "impute",
 ]
 
 # portable across Spark and DuckDB (see text.py:23): 15 hex chars of
@@ -620,3 +621,62 @@ def corr_matrix(df: DataFrame, cols: Sequence[str], round_dp: int = 6) -> DataFr
             f"stack({len(names)}, {stack}) AS (col_a, col_b, corr)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# imputation
+# ---------------------------------------------------------------------------
+
+def impute(
+    df: DataFrame,
+    value: str,
+    group_by: str | None = None,
+    strategy: str = "median",
+    out_col: str | None = None,
+    indicator: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """NULL imputation with the per-group median or mean plus the
+    standard missing-indicator column — the fill step of every tabular
+    feature pipeline, leakage-aware form (statistics from the SAME
+    table; for train/serve splits compute stats on train and join them
+    here via ``group_by``).
+
+    The fill value is ROUNDED to ``round_dp`` (engine-exact, same rule
+    as :func:`robust_scale`).  A group that is entirely NULL falls back
+    to the GLOBAL statistic; if that is also NULL (all-null column) the
+    row stays NULL — surfaced, not invented.
+
+    Scale: one group-cardinality aggregate plus a single-row global
+    aggregate, both broadcast back — map-only filling, zero corpus
+    shuffles.
+    """
+    require_cols(df, "impute", **{value: "numeric"})
+    if group_by is not None:
+        require_cols(df, "impute", **{group_by: "atomic"})
+    if strategy not in ("median", "mean"):
+        raise ValueError(f"impute: unknown strategy {strategy!r}")
+    out = out_col or f"{value}_filled"
+    ind = f"{value}_was_null"
+    for c in (out, ind, "_fill", "_gfill"):
+        if c in df.columns:
+            raise ValueError(f"impute: reserved/output column {c!r} in input")
+    dp = int(round_dp)
+    stat = (
+        F.expr(f"percentile(`{value}`, 0.5)") if strategy == "median"
+        else F.avg(value)
+    )
+    glob = df.agg(F.round(stat, dp).alias("_gfill"))
+    res = df
+    if group_by is not None:
+        stats = df.groupBy(group_by).agg(F.round(stat, dp).alias("_fill"))
+        res = res.join(F.broadcast(stats), on=group_by, how="left")
+    else:
+        res = res.withColumn("_fill", F.lit(None).cast("double"))
+    res = res.crossJoin(F.broadcast(glob))
+    filled = F.coalesce(F.col(value).cast("double"), F.col("_fill"),
+                        F.col("_gfill"))
+    res = res.withColumn(out, filled)
+    if indicator:
+        res = res.withColumn(ind, F.col(value).isNull())
+    return res.drop("_fill", "_gfill")
