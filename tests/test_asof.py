@@ -420,3 +420,131 @@ def test_interval_join_payload_name_collision_raises(spark):
     )
     with pt.raises(ValueError, match="collide"):
         interval_join(ev, iv, on="k", ts="t", start="lo", end="hi")
+
+
+# ---------------------------------------------------------------- directions
+
+
+def _duck_asof_dir(state_pd, queries_pd, op: str):
+    con = duckdb.connect()
+    con.register("state", state_pd)
+    con.register("q", queries_pd)
+    return con.sql(
+        f"""
+        SELECT q.entity_id, q.q_ts, q.q_id, s.ts AS matched_ts, s.value AS value
+        FROM q ASOF LEFT JOIN state s
+          ON q.entity_id = s.entity_id AND q.q_ts {op} s.ts
+        """
+    ).df()
+
+
+def test_asof_forward_vs_duckdb(data):
+    state, queries = data
+    sv = state.select("entity_id", "ts", "value")
+    out = asof_join(queries, sv, on="entity_id", direction="forward").toPandas()
+    oracle = _duck_asof_dir(sv.toPandas(), queries.toPandas(), "<=")
+    _compare(out[["q_id", "matched_ts", "value"]], oracle[["q_id", "matched_ts", "value"]])
+
+
+def test_asof_forward_strict_vs_duckdb(data):
+    state, queries = data
+    sv = state.select("entity_id", "ts", "value")
+    out = asof_join(
+        queries, sv, on="entity_id", direction="forward", strict=True
+    ).toPandas()
+    oracle = _duck_asof_dir(sv.toPandas(), queries.toPandas(), "<")
+    _compare(out[["q_id", "matched_ts", "value"]], oracle[["q_id", "matched_ts", "value"]])
+
+
+def test_asof_nearest_vs_pandas(data):
+    """pandas.merge_asof(direction='nearest') oracle — except at exact
+    mid-point ties, where pandas picks forward and the engine documents
+    backward; exclude tie rows from the comparison and pin the engine's
+    tie rule separately below."""
+    state, queries = data
+    sv = state.select("entity_id", "ts", "value")
+    out = asof_join(queries, sv, on="entity_id", direction="nearest").toPandas()
+    sp = sv.toPandas().sort_values("ts").reset_index(drop=True)
+    qp = queries.toPandas().sort_values("q_ts").reset_index(drop=True)
+    oracle = pd.merge_asof(
+        qp, sp, left_on="q_ts", right_on="ts", by="entity_id", direction="nearest"
+    ).rename(columns={"ts": "matched_ts"})
+    m = out.sort_values("q_id").reset_index(drop=True)
+    o = oracle.sort_values("q_id").reset_index(drop=True)
+    gap_b = (o["q_ts"] - o["matched_ts"]).dt.total_seconds()
+    # rows where pandas and the engine may legitimately differ: exact ties
+    ties = set()
+    for i, r in o.iterrows():
+        g = abs((r["q_ts"] - r["matched_ts"]).total_seconds()) if pd.notna(r["matched_ts"]) else None
+        if g is None:
+            continue
+        # tie iff a state row exists at the mirrored timestamp
+        ent = sp[sp.entity_id == r.entity_id]
+        mirrored = r["q_ts"] + (r["q_ts"] - r["matched_ts"])
+        if (ent["ts"] == mirrored).any() and g > 0:
+            ties.add(i)
+    keep = [i for i in range(len(o)) if i not in ties]
+    assert (
+        m.loc[keep, "matched_ts"].reset_index(drop=True).equals(
+            o.loc[keep, "matched_ts"].reset_index(drop=True))
+    )
+    assert np.allclose(
+        m.loc[keep, "value"].to_numpy(float),
+        o.loc[keep, "value"].to_numpy(float),
+        equal_nan=True,
+    )
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    q = spark.createDataFrame([(1, T(20))], "entity_id int, q_ts timestamp")
+    s = spark.createDataFrame(
+        [(1, T(19), 19.0), (1, T(21), 21.0)], "entity_id int, ts timestamp, value double"
+    )
+    row = asof_join(q, s, on="entity_id", direction="nearest").collect()[0]
+    assert row.value == 19.0  # equidistant -> backward match wins
+
+
+def test_asof_nearest_tolerance(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    q = spark.createDataFrame([(1, T(20)), (2, T(20))], "entity_id int, q_ts timestamp")
+    s = spark.createDataFrame(
+        [(1, T(15), 15.0), (2, T(22), 22.0)], "entity_id int, ts timestamp, value double"
+    )
+    out = {r.entity_id: r.value for r in asof_join(
+        q, s, on="entity_id", direction="nearest", tolerance_seconds=3
+    ).collect()}
+    assert out[1] is None  # 5s gap > 3s tolerance
+    assert out[2] == 22.0  # 2s forward gap within tolerance
+
+
+def test_asof_nearest_single_window_sort(spark):
+    """The nearest direction must not pay a second sort: both frames share
+    one (ts, side) sort order, so the physical plan carries exactly one
+    Exchange and one Sort below a single Window node."""
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    q = spark.createDataFrame([(1, T(20))], "entity_id int, q_ts timestamp")
+    s = spark.createDataFrame([(1, T(19), 1.0)], "entity_id int, ts timestamp, value double")
+    plan = (
+        asof_join(q, s, on="entity_id", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("+- Sort") == 1
+
+
+def test_asof_direction_validation(spark, data):
+    state, queries = data
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(queries, state, on="entity_id", direction="sideways")
+    with pytest.raises(NotImplementedError):
+        asof_join(
+            queries, state.select("entity_id", "ts", "value"), on="entity_id",
+            direction="nearest", strict=True,
+        )

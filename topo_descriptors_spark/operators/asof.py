@@ -43,7 +43,10 @@ from topo_descriptors_spark.functions.cols import axis_seconds
 # "matched_ts" is reserved too: it is the join's OUTPUT column, and a
 # query side already carrying it would make _unpack emit two columns of
 # that name (Spark allows duplicate names in select) — fail fast instead.
-_RESERVED = ("_ts", "_side", "_state", "_match", "_bucket", "_carry", "matched_ts")
+_RESERVED = (
+    "_ts", "_side", "_state", "_match", "_bucket", "_carry", "matched_ts",
+    "_back", "_fwd",  # direction="nearest" intermediates
+)
 
 
 def _check_names(queries_df: DataFrame, value_cols: list[str]) -> None:
@@ -89,6 +92,7 @@ def _unpack(
     value_cols: list[str],
     q_ts: str,
     tolerance_seconds: float | None,
+    direction: str = "backward",
 ) -> DataFrame:
     out = merged.where(F.col("_side") == 1)
     keep = [F.col(c) for c in queries_df.columns]
@@ -97,6 +101,10 @@ def _unpack(
     out = out.select(*keep)
     if tolerance_seconds is not None:
         age = axis_seconds(out, q_ts) - axis_seconds(out, "matched_ts")
+        if direction == "forward":
+            age = -age
+        elif direction == "nearest":
+            age = F.abs(age)
         ok = age <= F.lit(float(tolerance_seconds))
         out = out.select(
             *[F.col(c) for c in queries_df.columns],
@@ -115,34 +123,95 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = False,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (union + last-ignorenulls sort-merge).
+    """As-of join (union + last/first-ignorenulls sort-merge) in three
+    directions — the full ``pandas.merge_asof`` surface, JVM-side:
 
-    ``strict=False`` matches ``s_ts <= q_ts`` (DuckDB ``ASOF JOIN ... ON
-    q.ts >= s.ts``); ``strict=True`` matches ``s_ts < q_ts`` only.  The
-    tie rule is enforced by the secondary sort key: at equal timestamps
-    the state row sorts before the query row iff the join is inclusive.
-    If the state side can hold several rows per (keys, ts), deduplicate
-    it first (the last one in sort order would win nondeterministically).
+    * ``direction="backward"`` (default): latest state with
+      ``s_ts <= q_ts`` (``<`` when ``strict``) — zero temporal leakage,
+      the training-feature form.
+    * ``direction="forward"``: earliest state with ``s_ts >= q_ts``
+      (``>`` when ``strict``) — label/outcome attachment ("next purchase
+      after this click"), where looking ahead is the point.
+    * ``direction="nearest"``: whichever of the two is closer in time;
+      exact ties prefer the backward match (documented, deterministic).
+      ``strict`` excludes the equal-timestamp match from both sides.
+
+    The tie rule at equal timestamps is enforced by the secondary sort
+    key: the state row sorts on the visible side of the query row iff
+    the join is inclusive.  ``tolerance_seconds`` bounds the match age
+    (backward), lead (forward), or absolute gap (nearest).  If the state
+    side can hold several rows per (keys, ts), deduplicate it first (the
+    frame-edge one would win nondeterministically).
+
+    Physics is direction-independent: ONE shuffle of (queries+state) on
+    the join keys, one sort; nearest adds a second window function over
+    the SAME sort order (single Window exchange/sort, two frames), not a
+    second shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in state_df.columns if c not in set(on) | {s_ts}]
     _check_names(queries_df, value_cols)
 
     merged = _prep_sides(queries_df, state_df, on, q_ts, s_ts, value_cols)
-    # inclusive: state (0) before query (1) at equal ts → query sees it;
-    # strict: query first → state at the same instant is invisible.
-    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # backward-inclusive: state (0) sorts before query (1) at equal ts so
+    # the preceding frame sees it; forward-inclusive mirrors (query first,
+    # state inside the following frame); strict flips each.
+    back_side = F.col("_side").asc() if not strict else F.col("_side").desc()
+    fwd_side = F.col("_side").desc() if not strict else F.col("_side").asc()
+
+    def back_match(m: DataFrame, out: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), back_side)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return m.withColumn(out, F.last(F.col("_state"), ignorenulls=True).over(w))
+
+    def fwd_match(m: DataFrame, out: str, side_order=None) -> DataFrame:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), side_order if side_order is not None else fwd_side)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        return m.withColumn(out, F.first(F.col("_state"), ignorenulls=True).over(w))
+
+    if direction == "backward":
+        merged = back_match(merged, "_match")
+    elif direction == "forward":
+        merged = fwd_match(merged, "_match")
+    else:  # nearest: BOTH frames use the backward sort (ts, state-first)
+        # so Spark plans ONE exchange + ONE sort with two frames.  The
+        # forward frame then misses a state row at exactly q_ts (it sorts
+        # before the query row) — harmless: the backward frame holds that
+        # row with gap 0, and ties prefer backward, so the nearest result
+        # is identical to the two-sort formulation.
+        if strict:
+            raise NotImplementedError(
+                "direction='nearest' with strict=True is not supported; "
+                "pre-filter equal-timestamp state rows instead"
+            )
+        merged = fwd_match(
+            back_match(merged, "_back"), "_fwd", side_order=back_side
+        )
+        gap_b = axis_seconds(merged, "_ts") - axis_seconds(merged, "_back.matched_ts")
+        gap_f = axis_seconds(merged, "_fwd.matched_ts") - axis_seconds(merged, "_ts")
+        merged = merged.withColumn(
+            "_match",
+            F.when(F.col("_back").isNull(), F.col("_fwd"))
+            .when(F.col("_fwd").isNull(), F.col("_back"))
+            .when(gap_f < gap_b, F.col("_fwd"))
+            .otherwise(F.col("_back")),  # tie → backward
+        ).drop("_back", "_fwd")
+    return _unpack(
+        merged, queries_df, value_cols, q_ts, tolerance_seconds, direction
     )
-    merged = merged.withColumn(
-        "_match", F.last(F.col("_state"), ignorenulls=True).over(w)
-    )
-    return _unpack(merged, queries_df, value_cols, q_ts, tolerance_seconds)
 
 
 def asof_join_bucketed(
