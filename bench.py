@@ -226,6 +226,15 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "t_hash_vectorize",
         "w_rolling_quantiles",
         "t_bigram_logprob",
+        # round-4 batch: forward as-of, retrieval scoring, quality rules,
+        # token-level dedup/stats, skew profiling, running distinct
+        "j_asof_forward",
+        "t_bm25",
+        "t_gopher",
+        "t_token_bigrams",
+        "d_token_prefix_dup",
+        "a_heavy_hitters",
+        "w_cum_distinct",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate

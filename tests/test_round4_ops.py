@@ -1,0 +1,202 @@
+"""Round-4 operator batch: BM25, Gopher rules, token bigrams, token-prefix
+dedup, heavy hitters, cumulative distinct.  Small crafted fixtures with
+hand-computable answers; hash-dependent ops are replayed with a Python
+re-implementation of the portable hash."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topo_descriptors_spark.operators.dedup import token_prefix_groups
+from topo_descriptors_spark.operators.features import heavy_hitters
+from topo_descriptors_spark.operators.text import (
+    bm25_score,
+    gopher_rules,
+    token_bigram_topk,
+)
+from topo_descriptors_spark.operators.window import cumulative_distinct
+
+
+def _ptok(word: str, vocab: int = 4096) -> int:
+    """Python replay of text.tokens_sql's portable hash token."""
+    return int(hashlib.md5(word.lower().encode()).hexdigest()[:15], 16) % vocab
+
+
+# ------------------------------------------------------------------- BM25
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "data model data pipeline"),
+        (2, "the model is a model"),
+        (3, "nothing relevant here at all"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    words = {i: t.lower().split() for i, t in docs}
+    n = len(words)
+    avgdl = sum(len(w) for w in words.values()) / n
+    out = {}
+    for i, w in words.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            df = sum(1 for ww in words.values() if t in ww)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_reference(spark, tiny_docs):
+    rows = [(1, "data model data pipeline"), (2, "the model is a model"),
+            (3, "nothing relevant here at all"), (4, "")]
+    ref = _bm25_ref(rows, ["data", "model"])
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_score(tiny_docs, ["data", "model"]).collect()
+    }
+    for i in ref:
+        assert got[i] == pytest.approx(ref[i], abs=1e-6), i
+    assert got[4] == 0.0  # empty doc scores zero, not NaN
+
+
+def test_bm25_validates_terms(tiny_docs):
+    with pytest.raises(ValueError):
+        bm25_score(tiny_docs, [])
+    with pytest.raises(ValueError):
+        bm25_score(tiny_docs, ["a", "A"])  # dup after lowercasing
+
+
+# ------------------------------------------------------------ Gopher rules
+
+
+def test_gopher_flags(spark):
+    good = " ".join(["alpha beta gamma delta epsil"] * 12)  # 60 words, len 5
+    short = "too short"
+    bullets = "\n".join(f"- item {i} ok" for i in range(10))
+    rows = [(1, good), (2, short), (3, bullets), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].ok_word_count and not out[2].gopher_pass
+    assert out[3].bullet_frac == 1.0 and not out[3].ok_bullet_lines
+    assert out[4].n_words == 0 and not out[4].gopher_pass
+    # empty doc: line rules vacuously true, word rules reject
+    assert out[4].ok_bullet_lines and out[4].ok_ellipsis_lines
+
+
+def test_gopher_ellipsis(spark):
+    text = "one line fine\nsecond line trails off...\nthird ends too…"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = gopher_rules(df).collect()[0]
+    assert r.ellipsis_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert not r.ok_ellipsis_lines
+
+
+# ----------------------------------------------------------- token bigrams
+
+
+def test_token_bigram_counts(spark):
+    # "a b" appears 3x across docs, "b c" 2x, "c a" 1x
+    rows = [(1, "a b c a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = token_bigram_topk(df, k=10).collect()
+    counts = {(r.tok_a, r.tok_b): r.n for r in out}
+    ta, tb, tc = _ptok("a"), _ptok("b"), _ptok("c")
+    assert counts[(ta, tb)] == 3
+    assert counts[(tb, tc)] == 2
+    assert counts[(tc, ta)] == 1
+    # top-1 is the most frequent bigram
+    assert (out[0].tok_a, out[0].tok_b, out[0].n) == (ta, tb, 3)
+
+
+def test_token_bigram_short_docs_skipped(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id int, text string")
+    assert token_bigram_topk(df).count() == 0
+
+
+# ------------------------------------------------------- token prefix dedup
+
+
+def test_token_prefix_groups(spark):
+    shared = "breaking news about the market"
+    rows = [
+        (1, shared + " with extra tail one"),
+        (2, shared + " and a different continuation"),
+        (3, "completely different document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = token_prefix_groups(df, prefix_len=5).collect()
+    by_gid = {r.group_id: r for r in out}
+    assert by_gid[1].n_docs == 2 and by_gid[1].is_dup  # docs 1+2 share prefix
+    assert by_gid[3].n_docs == 1 and not by_gid[3].is_dup
+
+
+def test_token_prefix_shorter_than_prefix_len(spark):
+    # docs shorter than prefix_len group on their full token array
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.group_id: r.n_docs for r in token_prefix_groups(df, prefix_len=8).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def test_heavy_hitters_shares(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = heavy_hitters(df, "k", k=2).collect()
+    assert [(r.k, r.n, r.rank) for r in out] == [("a", 5, 1), ("b", 3, 2)]
+    assert out[0].share == 0.5 and out[0].cum_share == 0.5
+    assert out[1].share == 0.3 and out[1].cum_share == 0.8
+
+
+def test_heavy_hitters_tie_break(spark):
+    rows = [("b",)] * 2 + [("a",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = heavy_hitters(df, "k", k=3).collect()
+    assert [r.k for r in out] == ["a", "b", "c"]  # count desc, then key asc
+
+
+# ------------------------------------------------------- cumulative distinct
+
+
+def test_cumulative_distinct_with_ties(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(1), "x"), (1, T(2), "y"), (1, T(2), "z"),  # tie at t=2
+        (1, T(3), "x"),
+        (2, T(1), "x"),
+    ]
+    df = spark.createDataFrame(rows, "entity_id int, ts timestamp, v string")
+    out = cumulative_distinct(df, "v", entity="entity_id", order="ts")
+    got = sorted(
+        (r.entity_id, r.ts.second, r.v, r.n_distinct) for r in out.collect()
+    )
+    # peers at t=2 both see the full peer set {x,y,z}
+    assert got == [
+        (1, 1, "x", 1), (1, 2, "y", 3), (1, 2, "z", 3), (1, 3, "x", 3),
+        (2, 1, "x", 1),
+    ]
+
+
+def test_cumulative_distinct_ignores_nulls(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, T(1), None), (1, T(2), "a")]
+    df = spark.createDataFrame(rows, "entity_id int, ts timestamp, v string")
+    out = {r.ts.second: r.n_distinct for r in
+           cumulative_distinct(df, "v", entity="entity_id", order="ts").collect()}
+    assert out == {1: 0, 2: 1}

@@ -717,3 +717,38 @@ def fuzzy_pairs_ed1(
         .where(F.col("dist") <= 1)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def token_prefix_groups(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 8,
+    vocab: int = 4096,
+) -> DataFrame:
+    """Duplicate groups keyed on the first ``prefix_len`` tokens of the
+    hash-vocab pre-tokenized view — the cheap crawl-dedup pass that
+    catches re-hosted articles sharing an identical lead paragraph
+    before the expensive MinHash machinery runs.
+
+    One row per distinct prefix: ``(group_id = min doc id, n_docs,
+    is_dup)``.  The grouping key is a FIXED-LENGTH int array (at most
+    ``prefix_len`` elements), so the shuffle key is bounded regardless
+    of document length, map-side combine collapses each partition to
+    its distinct prefixes, and — unlike full-text exact dedup — two
+    documents differing only in their tail still collide.  Join the
+    result back on the prefix for per-doc membership.
+    """
+    from topo_descriptors_spark.operators.text import tokens_sql
+
+    require_cols(df, "token_prefix_groups", **{id_col: "atomic", text: "string"})
+    prefix = F.expr(f"slice({tokens_sql(text, vocab=vocab)}, 1, {int(prefix_len)})")
+    return (
+        df.select(F.col(id_col), prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.min(id_col).alias("group_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("is_dup", F.col("n_docs") > 1)
+    )

@@ -680,3 +680,40 @@ def impute(
     if indicator:
         res = res.withColumn(ind, F.col(value).isNull())
     return res.drop("_fill", "_gfill")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Key-skew profiler: the top-``k`` grouping keys by row count, with
+    each key's share of the table and the running cumulative share —
+    the diagnostic to run BEFORE any big join or groupBy ("is this key
+    salt-worthy?"), and the evidence behind every skew mitigation in
+    this engine (AQE skew-join, salting, bucket caps).
+
+    Plan: one map-side-combined groupBy (shuffle carries the key
+    vocabulary, not the table), a one-row total aggregated separately
+    and broadcast, and a TakeOrderedAndProject top-k — the ranking
+    window then runs over only ``k`` rows on a single task, so the
+    "global" window is O(k), never a global sort of the key table.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    require_cols(df, "heavy_hitters", **{c: "atomic" for c in keys})
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    order = [F.col("n").desc()] + [F.col(c).asc() for c in keys]
+    top = counts.orderBy(*order).limit(int(k))
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    rd = int(round_digits)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .withColumn("share", F.round(F.col("n") / F.col("_total"), rd))
+        .withColumn(
+            "cum_share", F.round(F.sum("n").over(w) / F.col("_total"), rd)
+        )
+        .select(*keys, "n", "rank", "share", "cum_share")
+    )

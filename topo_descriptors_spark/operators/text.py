@@ -13,6 +13,8 @@ so even hash-based operators can get exact SQL oracles.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -626,4 +628,229 @@ def bigram_logprob(
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.col(out),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable integer tokens (hash-vocab), BM25, Gopher rules, token bigrams
+# ---------------------------------------------------------------------------
+
+
+def tokens_sql(text: str = "text", vocab: int = 4096, lower: bool = True) -> str:
+    """SQL for a pre-tokenized ``array<int>`` view of a text column: the
+    portable 60-bit hash of each (lowercased) whitespace word, mod a
+    fixed vocab — the same hash-vocab family the packed flagship uses,
+    so DuckDB replays it bit-for-bit
+    (``(('0x'||substr(md5(lower(w)),1,15))::BIGINT % vocab)::INT``)."""
+    w = "lower(w)" if lower else "w"
+    h = PORTABLE_HASH_SQL.format(col=w)
+    return f"transform({words_sql(text)}, w -> cast({h} % {vocab} as int))"
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    out: str = "bm25",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed bag of
+    query terms — the retrieval-side scorer for corpus curation
+    (seed-document mining, topic-targeted sampling, RAG indexing):
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with the Lucene-style always-positive idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    100-TB shape: the query-term list is a tiny LITERAL, so per-doc term
+    frequencies are in-row array-lambda counts — no positional-index
+    explode, no shuffle.  Corpus statistics (N, Σdl, per-term df)
+    collapse in ONE scalar aggregation to a single row that is
+    cross-joined back with an explicit broadcast; the corpus is scanned,
+    never shuffled.  Contrast tfidf_topk, which needs the full (doc,
+    word) index because its term set is open.
+    """
+    require_cols(df, "bm25_score", **{id_col: "atomic", text: "string"})
+    terms = [t.lower() for t in query_terms]
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    d = with_words(df, text, "_bw")
+    d = d.withColumn("_lw", F.transform("_bw", lambda w: F.lower(w)))
+    d = d.withColumn("_dl", F.size("_bw").cast("double"))
+    for i, t in enumerate(terms):
+        d = d.withColumn(
+            f"_tf{i}",
+            F.size(F.filter("_lw", lambda w: w == F.lit(t))).cast("double"),
+        )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf, dfq = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    return scored.select(
+        *df.columns,
+        F.col("_dl").cast("long").alias("n_words"),
+        F.round(score, int(round_digits)).alias(out),
+    )
+
+
+# Gopher-style quality rule thresholds (Rae et al. 2021, table A1 — the
+# public filter recipe); fractions are rounded before comparison so the
+# boolean flags replay identically in SQL.
+GOPHER_BULLET_RE = r"^\s*[-*•]"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher/MassiveText document-quality rules — the standard public
+    heuristic battery for web-corpus filtering: word-count bounds, mean
+    word length bounds, minimum fraction of words containing a letter,
+    and caps on bullet-started / ellipsis-ended lines.
+
+    Emits the measured statistics, one boolean per rule, and
+    ``gopher_pass`` (the conjunction).  Everything is an in-row array /
+    regexp expression over the words and lines of the document — purely
+    map-side, no shuffle, no Python; at 100 TB this pipelines with the
+    scan and the filter pushes into the next stage for free.
+    """
+    require_cols(df, "gopher_rules", **{id_col: "atomic", text: "string"})
+    d = with_words(df, text, "_gw")
+    d = d.withColumn("_lines", F.filter(
+        F.split(F.col(text), "\n"), lambda ln: F.trim(ln) != ""
+    ))
+    n_words = F.size("_gw")
+    n_lines = F.size("_lines")
+    rd = int(round_digits)
+    mean_wl = F.when(
+        n_words > 0,
+        F.round(
+            F.aggregate(
+                "_gw", F.lit(0.0), lambda acc, w: acc + F.length(w)
+            ) / n_words,
+            rd,
+        ),
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter("_gw", lambda w: w.rlike("[A-Za-z]"))) / n_words, rd
+        ),
+    )
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.size(F.filter("_lines", lambda ln: ln.rlike(GOPHER_BULLET_RE)))
+            / n_lines,
+            rd,
+        ),
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.size(F.filter("_lines", lambda ln: ln.rlike(GOPHER_ELLIPSIS_RE)))
+            / n_lines,
+            rd,
+        ),
+    )
+    d = (
+        d.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+    )
+    ok_words = F.col("n_words").between(min_words, max_words)
+    ok_mean = F.coalesce(
+        F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+        F.lit(False),
+    )
+    ok_alpha = F.coalesce(F.col("alpha_frac") >= min_alpha_frac, F.lit(False))
+    # no lines at all → the line rules pass vacuously (the word rules
+    # already reject empty docs)
+    ok_bullet = F.coalesce(F.col("bullet_frac") <= max_bullet_frac, F.lit(True))
+    ok_ellipsis = F.coalesce(
+        F.col("ellipsis_frac") <= max_ellipsis_frac, F.lit(True)
+    )
+    return d.select(
+        *df.columns,
+        "n_words", "mean_word_len", "alpha_frac", "bullet_frac", "ellipsis_frac",
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        (ok_words & ok_mean & ok_alpha & ok_bullet & ok_ellipsis).alias(
+            "gopher_pass"
+        ),
+    )
+
+
+def token_bigram_topk(
+    df: DataFrame,
+    text: str = "text",
+    vocab: int = 4096,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k token bigrams over the hash-vocab pre-tokenized
+    view of the corpus — the token-level co-occurrence table that seeds
+    BPE-merge candidates and n-gram LM estimation.
+
+    Plan: the bigram array is built IN-ROW (transform over an index
+    sequence — the token array never leaves the row), explode is linear
+    and pipelines with the scan, and the groupBy's map-side combine
+    means the shuffle carries at most |vocab|² (bounded, corpus-size
+    independent) bigram keys.  The final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    require_cols(df, "token_bigram_topk", **{text: "string"})
+    # materialize the token array ONCE: element_at inside the pair lambda
+    # re-evaluates its receiver expression, so an inline tokens_sql would
+    # recompute the md5 tokenization per element — O(len²) hashing
+    # (measured 40× on the 500-doc gate fixture)
+    d = df.select(F.expr(tokens_sql(text, vocab=vocab)).alias("_toks"))
+    pairs = F.expr(
+        """
+        case when size(_toks) >= 2 then
+          transform(sequence(1, size(_toks) - 1),
+                    i -> struct(element_at(_toks, i) as ta,
+                                element_at(_toks, i + 1) as tb))
+        else array() end
+        """
+    )
+    return (
+        d.select(F.explode(pairs).alias("_bg"))
+        .select(F.col("_bg.ta").alias("tok_a"), F.col("_bg.tb").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(int(k))
     )

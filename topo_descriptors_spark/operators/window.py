@@ -672,3 +672,34 @@ def reimpose_nulls(
         for c in df.columns
     ]
     return df.select(*exprs)
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    value: str,
+    entity: str = "entity_id",
+    order: str = "ts",
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Running count of DISTINCT values seen per entity up to each row —
+    e.g. "how many distinct event types has this user produced so far",
+    the classic engagement-breadth feature.
+
+    Frame semantics match SQL's default window frame (RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW): rows that tie on ``order`` are peers and
+    see the same running count, so the result is deterministic even
+    with duplicate timestamps and replays exactly as DuckDB's
+    ``count(DISTINCT v) OVER (PARTITION BY e ORDER BY ts)``.
+
+    Spark's window functions cannot express DISTINCT aggregates, so the
+    plan keeps a ``collect_set`` as running state and takes its size —
+    per-row state is O(|distinct values per entity|), fine for
+    vocabulary-like columns (event types, categories, domains).  For
+    high-cardinality values swap in the KMV sketch
+    (features.kmv_distinct) instead; this operator is the exact form.
+    NULLs are ignored (not a distinct value), matching SQL COUNT.
+    """
+    _check_seq(df, "cumulative_distinct", entity, order)  # value may be any
+    require_cols(df, "cumulative_distinct", **{value: "atomic"})  # atomic type
+    w = Window.partitionBy(entity).orderBy(order)
+    return df.withColumn(out, F.size(F.collect_set(F.col(value)).over(w)))
