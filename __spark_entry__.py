@@ -1585,6 +1585,43 @@ def q_asof_forward(spark, sf_dir):
     )
 
 
+def q_ohlc(spark, sf_dir):
+    """Daily OHLC bars per user — irregular→regular downsampling with a
+    deterministic event_id tie-break; one shuffle (window + reused-
+    partitioning groupBy)."""
+    from topo_descriptors_spark.operators.features import resample_ohlc
+
+    out = resample_ohlc(
+        _events(spark, sf_dir), 86400, value="value", entity="user_id",
+        order="ts", tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "bucket_start",
+        _r("open").alias("open"), _r("high").alias("high"),
+        _r("low").alias("low"), _r("close").alias("close"),
+        "mean", "n",
+    )
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch estimates for events.user_id (depth 4 × width
+    256 — narrow on purpose so collisions actually occur and the exact
+    replay proves the sketch, not just the exact path)."""
+    from topo_descriptors_spark.operators.features import cms_counts
+
+    return cms_counts(_events(spark, sf_dir), "user_id", depth=4, width=256)
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-safe per-entity temporal split: latest 20% of each user's
+    events → valid."""
+    from topo_descriptors_spark.operators.pipeline import temporal_split
+
+    return temporal_split(
+        _events(spark, sf_dir), entity="user_id", order="ts", valid_frac=0.2
+    ).select("event_id", "user_id", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multiscale window features + sessionize + as-of context
     on sf0.001 — the engine's whole lifecycle in one plan."""
@@ -1673,6 +1710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their new behavior is pinned by pytest and re-verified via
         # scripts/selfcheck.py at sf0.01 (see COVERAGE.md) — they rotate
         # back into the official window next round. --
+        # (new late in round 4 — verified by selfcheck + pytest this
+        # round, official row when they rotate to the front in r5)
+        "a_ohlc": q_ohlc,
+        "k_cms_counts": q_cms_counts,
+        "p_temporal_split": q_temporal_split,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1807,6 +1849,38 @@ _D_SHINGLES = (
 )
 # hash-vocab pre-tokenized view (mirrors text.tokens_sql, vocab=4096)
 _DTOK = f"list_transform({_DW}, tk -> ({_DH.format(s='lower(tk)')} % 4096)::INT)"
+
+
+def _cms_sql(depth: int = 4, width: int = 256) -> str:
+    """Replays features.cms_counts bit-for-bit: portable md5 key hash
+    into the 31-bit prime field, the MinHash affine family per sketch
+    row, exact cell counts, min across rows.  The portable hash is a
+    positive 60-bit value so plain ``%`` matches Spark's pmod."""
+    from topo_descriptors_spark.operators.dedup import minhash_params
+    from topo_descriptors_spark.operators.text import HASH_PRIME
+
+    params = minhash_params(depth)
+    kh = _DH.format(s="user_id::VARCHAR") + f" % {HASH_PRIME}"
+    bexprs = ", ".join(
+        f"(({a} * kh + {b}) % {HASH_PRIME}) % {width} AS b{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    cell_ctes = ", ".join(
+        f"c{i} AS (SELECT b{i} AS b, count(*)::BIGINT AS cnt FROM h2 "
+        f"GROUP BY b{i})"
+        for i in range(depth)
+    )
+    joins = " ".join(f"JOIN c{i} ON c{i}.b = k.b{i}" for i in range(depth))
+    least = "least(" + ", ".join(f"c{i}.cnt" for i in range(depth)) + ")"
+    mins = ", ".join(f"min(b{i}) AS b{i}" for i in range(depth))
+    return f"""
+        WITH h AS (SELECT user_id, {kh} AS kh FROM events),
+        h2 AS (SELECT user_id, {bexprs} FROM h),
+        k AS (SELECT user_id, count(*)::BIGINT AS n_true, {mins}
+              FROM h2 GROUP BY user_id),
+        {cell_ctes}
+        SELECT user_id, {least} AS est, n_true FROM k {joins}
+    """
 
 
 def _bm25_sql(terms=None, k1: float = 1.2, b: float = 0.75) -> str:
@@ -3642,6 +3716,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    count(DISTINCT event_type) OVER
                      (PARTITION BY user_id ORDER BY ts)::INT AS n_distinct
+            FROM events
+        """,
+        "a_ohlc": f"""
+            WITH e AS (SELECT user_id,
+                              (floor(epoch(ts) / 86400) * 86400)::BIGINT
+                                AS bucket_start,
+                              value, ts, event_id
+                       FROM events),
+            w AS (SELECT user_id, bucket_start, value,
+                    first_value(value) OVER fb AS o,
+                    last_value(value) OVER fb AS c
+                  FROM e
+                  WINDOW fb AS (PARTITION BY user_id, bucket_start
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket_start,
+                   round(first(o), {_R}) AS open, round(max(value), {_R}) AS high,
+                   round(min(value), {_R}) AS low, round(first(c), {_R}) AS close,
+                   round(avg(value), {_R}) AS mean, count(*)::BIGINT AS n
+            FROM w GROUP BY user_id, bucket_start
+        """,
+        "k_cms_counts": _cms_sql(),
+        "p_temporal_split": """
+            SELECT event_id, user_id,
+                   CASE WHEN percent_rank() OVER
+                          (PARTITION BY user_id ORDER BY ts) > 0.8
+                        THEN 'valid' ELSE 'train' END AS split
             FROM events
         """,
     }

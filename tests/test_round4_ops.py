@@ -200,3 +200,146 @@ def test_cumulative_distinct_ignores_nulls(spark):
     out = {r.ts.second: r.n_distinct for r in
            cumulative_distinct(df, "v", entity="entity_id", order="ts").collect()}
     assert out == {1: 0, 2: 1}
+
+
+# ------------------------------------------------------------ OHLC resample
+
+
+def test_ohlc_bars(spark):
+    import datetime as dt
+
+    T = lambda h, s: dt.datetime(2024, 1, 1, h, 0, s)
+    rows = [
+        (1, 1, T(0, 1), 10.0), (2, 1, T(0, 2), 30.0), (3, 1, T(0, 3), 20.0),
+        (4, 1, T(1, 0), 5.0),                      # second bucket
+        (5, 2, T(0, 5), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, entity_id int, ts timestamp, value double"
+    )
+    from topo_descriptors_spark.operators.features import resample_ohlc
+
+    out = {
+        (r.entity_id, r.bucket_start): r
+        for r in resample_ohlc(df, 3600, tiebreak="event_id").collect()
+    }
+    b0 = out[(1, 1704067200)]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n) == (10.0, 30.0, 10.0, 20.0, 3)
+    assert b0.mean == pytest.approx(20.0)
+    assert out[(1, 1704070800)].open == 5.0
+    assert out[(2, 1704067200)].n == 1
+
+
+def test_ohlc_tiebreak_deterministic(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(2, 1, t, 99.0), (1, 1, t, 11.0)]  # same ts, tie-break on id
+    df = spark.createDataFrame(
+        rows, "event_id int, entity_id int, ts timestamp, value double"
+    )
+    from topo_descriptors_spark.operators.features import resample_ohlc
+
+    r = resample_ohlc(df, 3600, tiebreak="event_id").collect()[0]
+    assert r.open == 11.0 and r.close == 99.0
+
+
+def test_ohlc_single_exchange(spark):
+    """The groupBy must reuse the window's (entity, bucket) hash
+    partitioning — exactly one Exchange in the plan."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id int, entity_id int, ts timestamp, value double",
+    )
+    from topo_descriptors_spark.operators.features import resample_ohlc
+
+    plan = (
+        resample_ohlc(df, 3600, tiebreak="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ohlc_validates(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "entity_id int, ts timestamp, value double",
+    )
+    from topo_descriptors_spark.operators.features import resample_ohlc
+
+    with pytest.raises(ValueError):
+        resample_ohlc(df, 0)
+
+
+# ------------------------------------------------------------------- CMS
+
+
+def test_cms_overestimates_only(spark):
+    rows = [(i % 37,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k int")
+    from topo_descriptors_spark.operators.features import cms_counts
+
+    out = cms_counts(df, "k", depth=4, width=16).collect()  # narrow → collisions
+    assert len(out) == 37
+    assert all(r.est >= r.n_true for r in out)
+    # error bound sanity: with d=4 rows the min cell is rarely far off
+    assert sum(r.est == r.n_true for r in out) > 0
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    from topo_descriptors_spark.operators.features import cms_counts
+
+    out = {r.k: (r.est, r.n_true) for r in
+           cms_counts(df, "k", depth=4, width=4096).collect()}
+    assert out == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}
+
+
+# --------------------------------------------------------- temporal split
+
+
+def test_temporal_split_is_leakage_safe(spark):
+    import datetime as dt
+
+    rows = [
+        (e, i, dt.datetime(2024, 1, 1 + i)) for e in (1, 2) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "entity_id int, seq int, ts timestamp")
+    from topo_descriptors_spark.operators.pipeline import temporal_split
+
+    out = temporal_split(df, valid_frac=0.2).collect()
+    for e in (1, 2):
+        train_max = max(r.ts for r in out if r.entity_id == e and r.split == "train")
+        valid_min = min(r.ts for r in out if r.entity_id == e and r.split == "valid")
+        assert train_max < valid_min  # every valid row strictly after train
+    # latest 20% of 10 rows → percent_rank > 0.8 → exactly ranks 9,10 → 1 row?
+    # percent_rank of row i (0-based) = i/9; > 0.8 → i = 8, 9 → 2 rows
+    assert sum(r.split == "valid" for r in out) == 4
+
+
+def test_temporal_split_single_row_entity(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "entity_id int, ts timestamp"
+    )
+    from topo_descriptors_spark.operators.pipeline import temporal_split
+
+    assert temporal_split(df).collect()[0].split == "train"
+
+
+def test_temporal_split_validates_frac(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "entity_id int, ts timestamp"
+    )
+    from topo_descriptors_spark.operators.pipeline import temporal_split
+
+    with pytest.raises(ValueError):
+        temporal_split(df, valid_frac=1.5)

@@ -717,3 +717,127 @@ def heavy_hitters(
         )
         .select(*keys, "n", "rank", "share", "cum_share")
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    bucket_seconds: int,
+    value: str = "value",
+    entity: str = "entity_id",
+    order: str = "ts",
+    tiebreak: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-bucket downsampling to OHLC bars: per (entity, bucket) the
+    open (first value by time), high, low, close (last value by time),
+    mean and row count — the canonical irregular→regular time-series
+    reduction feeding lag/window features at a coarser grain.
+
+    ``tiebreak`` (default: none) is a unique column appended to the
+    ordering so open/close are deterministic when two rows share a
+    timestamp; omit it only if (entity, order) is unique.
+
+    Plan: ONE shuffle on (entity, bucket) — a window computes
+    open/close over the full-bucket frame, and the following groupBy
+    reuses the window's partitioning (no second exchange; the remaining
+    aggregates are map-side-combinable min/max/sum/count).
+    """
+    from topo_descriptors_spark.functions.cols import axis_seconds
+
+    require_cols(df, "resample_ohlc", **{value: "numeric", entity: "atomic"})
+    bs = int(bucket_seconds)
+    if bs <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    d = df.withColumn(
+        "_bkt", (F.floor(axis_seconds(df, order) / bs) * bs).cast("long")
+    )
+    ordering = [F.col(order).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(entity, "_bkt")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    d = d.withColumn("_open", F.first(value).over(w)).withColumn(
+        "_close", F.last(value).over(w)
+    )
+    rd = int(round_digits)
+    return (
+        d.groupBy(entity, F.col("_bkt").alias("bucket_start"))
+        .agg(
+            F.first("_open").alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.first("_close").alias("close"),
+            F.round(F.avg(value), rd).alias("mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Count-min sketch frequency estimates for every distinct key — the
+    fixed-memory counting structure for streaming/huge-cardinality
+    frequency when an exact groupBy's key vocabulary no longer fits:
+    ``est >= true`` always, overestimate bounded by collisions in a
+    ``depth × width`` grid.
+
+    The hash family is the engine's portable affine family over the
+    31-bit prime field (same as MinHash), seeded from the portable md5
+    hash of the key's string form — so the whole sketch, including its
+    collisions, replays bit-for-bit in SQL and the estimates get an
+    exact DuckDB oracle (deterministic ≠ inexact!).
+
+    Plan: the sketch build is a map-side-combined groupBy whose shuffle
+    carries at most ``depth × width`` cells per map partition — corpus
+    size independent, the whole sketch is broadcastable; the estimate
+    pass joins the DISTINCT-key table against the broadcast cells and
+    takes the min across rows.  Returns (key, est, n_true) — n_true is
+    an exact count for auditability; at true scale drop it and keep the
+    sketch-only path.
+    """
+    from topo_descriptors_spark.operators.dedup import minhash_params
+    from topo_descriptors_spark.operators.text import HASH_PRIME, PORTABLE_HASH_SQL
+
+    require_cols(df, "cms_counts", **{key: "atomic"})
+    params = minhash_params(int(depth))
+    kh = PORTABLE_HASH_SQL.format(col=f"cast({key} as string)")
+    d = df.withColumn("_kh", F.expr(f"pmod({kh}, {HASH_PRIME})"))
+    buckets = [
+        F.expr(f"pmod({a}L * _kh + {b}L, {HASH_PRIME}) % {int(width)}").alias(
+            f"_b{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    hashed = d.select(F.col(key), F.col("_kh"), *buckets)
+    # sketch cells: explode the depth rows IN-ROW, then one tiny groupBy
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.col(f"_b{i}").alias("b"))
+        for i in range(len(params))
+    ])
+    cells = (
+        hashed.select(F.explode(rows).alias("_c"))
+        .groupBy(F.col("_c.i").alias("i"), F.col("_c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = hashed.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        *[F.first(f"_b{i}").alias(f"_b{i}") for i in range(len(params))],
+    )
+    est = None
+    out = keys
+    for i in range(len(params)):
+        c = cells.where(F.col("i") == i).select(
+            F.col("b").alias(f"_b{i}"), F.col("cnt").alias(f"_cnt{i}")
+        )
+        out = out.join(F.broadcast(c), f"_b{i}")
+        e = F.col(f"_cnt{i}")
+        est = e if est is None else F.least(est, e)
+    return out.select(key, est.alias("est"), "n_true")

@@ -498,3 +498,36 @@ def cap_per_group(
         F.col("_cap_rank") <= int(n)
     )
     return out if keep_rank else out.drop("_cap_rank")
+
+
+def temporal_split(
+    df: DataFrame,
+    entity: str = "entity_id",
+    order: str = "ts",
+    valid_frac: float = 0.2,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe per-entity temporal split: each entity's LATEST
+    ``valid_frac`` of rows (by time order) become ``valid``, the rest
+    ``train`` — the only split that respects the as-of/PIT discipline
+    (a random row split leaks future state of the same entity into
+    training; this one cannot, by construction).
+
+    Implemented with ``percent_rank`` so rows tying on ``order`` land on
+    the same side in every engine (SQL-standard rank semantics — no
+    tiebreak column needed for determinism of the SPLIT, though ties
+    straddling the cut all go to train together).  One window shuffle on
+    the entity key; single-row entities rank 0 → train.
+    """
+    if not (0.0 < valid_frac < 1.0):
+        raise ValueError("valid_frac must be in (0, 1)")
+    require_cols(df, "temporal_split", **{entity: "atomic"})
+    from pyspark.sql import Window as _W
+
+    pr = F.percent_rank().over(_W.partitionBy(entity).orderBy(order))
+    return df.withColumn(
+        out,
+        F.when(pr > F.lit(1.0 - valid_frac), F.lit("valid")).otherwise(
+            F.lit("train")
+        ),
+    )
