@@ -1585,6 +1585,66 @@ def q_asof_forward(spark, sf_dir):
     )
 
 
+def q_window_counts_stream(spark, sf_dir):
+    """Structured Streaming tumbling-window counts as a gate row: the
+    events parquet as a file stream through window()+watermark, drained
+    availableNow into a memory sink in complete mode (same gate-only
+    physics as w_sessionize_stream, documented there).  Epoch-aligned
+    windows make the batch oracle an exact floor-division bucketing."""
+    import tempfile
+    import uuid
+
+    from topo_descriptors_spark.streaming.sessions import windowed_counts_stream
+
+    schema = _events(spark, sf_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+    )
+    agg = windowed_counts_stream(ev, 86400, watermark="87600 hours")
+    name = "winc_gate_" + uuid.uuid4().hex[:8]
+    ckp = tempfile.mkdtemp(prefix="ckp_winc_gate_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckp)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("window_start").alias("start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _r("sum_value").alias("sum_value"),
+    )
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Each click sees the user's purchase CLOSEST in time, either side
+    (ties → backward); the nearest as-of direction through the gate."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("q_id"), "user_id", F.col("ts").alias("q_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("nearest_purchase")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", q_ts="q_ts", s_ts="ts",
+        direction="nearest",
+    )
+    return out.select(
+        "q_id", "user_id", "q_ts", "matched_ts",
+        _r("nearest_purchase").alias("nearest_purchase"),
+    )
+
+
 def q_ohlc(spark, sf_dir):
     """Daily OHLC bars per user — irregular→regular downsampling with a
     deterministic event_id tie-break; one shuffle (window + reused-
@@ -1715,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_ohlc": q_ohlc,
         "k_cms_counts": q_cms_counts,
         "p_temporal_split": q_temporal_split,
+        "w_window_counts_stream": q_window_counts_stream,
+        "j_asof_nearest": q_asof_nearest,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -3739,6 +3801,26 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY user_id, bucket_start
         """,
         "k_cms_counts": _cms_sql(),
+        "w_window_counts_stream": """
+            SELECT user_id,
+                   (floor(epoch(ts) / 86400) * 86400 * 1000000)::BIGINT
+                     AS start_us,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY user_id, start_us
+        """,
+        "j_asof_nearest": """
+            SELECT c.event_id AS q_id, c.user_id, c.ts AS q_ts,
+                   s.ts AS matched_ts, round(s.value, 6) AS nearest_purchase
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN LATERAL (
+              SELECT p.ts, p.value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              WHERE p.user_id = c.user_id
+              ORDER BY abs(epoch(c.ts) - epoch(p.ts)), p.ts
+              LIMIT 1
+            ) s ON true
+        """,
         "p_temporal_split": """
             SELECT event_id, user_id,
                    CASE WHEN percent_rank() OVER

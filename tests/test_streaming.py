@@ -121,3 +121,71 @@ def test_dedup_stream_equals_batch_within_watermark(spark):
             .dropDuplicates(["event_id"])
         )
         assert batch.count() == got.count()
+
+
+def test_windowed_counts_stream_equals_batch(spark):
+    """Tumbling-window streaming counts drained availableNow equal the
+    batch floor-division bucketing (epoch-aligned windows)."""
+    import numpy as np
+
+    from topo_descriptors_spark.streaming.sessions import windowed_counts_stream
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for uid in range(4):
+        t = pd.Timestamp("2024-01-01")
+        for i in range(50):
+            t = t + pd.Timedelta(seconds=float(rng.exponential(900) + 1))
+            rows.append((uid, t, float(rng.rand())))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckp = f"{d}/src", f"{d}/ckp"
+        os.makedirs(src)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{src}/batch1")
+        schema = spark.read.parquet(f"{src}/batch1").schema
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        agg = windowed_counts_stream(
+            stream, 3600, watermark="87600 hours"
+        )
+        name = "winc_test"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckp)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.unix_micros("window_start").alias("start_us"),
+                "n_events",
+                F.round("sum_value", 6).alias("sum_value"),
+            )
+            .toPandas()
+            .sort_values(["user_id", "start_us"])
+            .reset_index(drop=True)
+        )
+    batch = spark.createDataFrame(pdf)
+    want = (
+        batch.groupBy(
+            "user_id",
+            (
+                (F.floor(F.col("ts").cast("double") / 3600) * 3600) * 1_000_000
+            ).cast("long").alias("start_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    got["n_events"] = got["n_events"].astype("int64")
+    want["n_events"] = want["n_events"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)

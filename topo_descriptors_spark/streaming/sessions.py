@@ -88,3 +88,39 @@ def dedup_stream(
     return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window_seconds: int,
+    entity: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked TUMBLING-window aggregates per entity — the canonical
+    Structured Streaming shape (groupBy window + watermark): counts and
+    sums per (entity, aligned time bucket), with state for a window
+    retired once the watermark passes its end, so unbounded ingestion
+    holds only the open-window frontier in state.
+
+    Windows align to the epoch (Spark ``window()`` semantics), so the
+    batch equivalent is exactly ``floor(epoch(ts)/w)*w`` bucketing — the
+    gate replays it that way in DuckDB.
+    """
+    win = F.window(F.col(ts), f"{int(window_seconds)} seconds")
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(entity), win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+        )
+        .select(
+            entity,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
