@@ -130,3 +130,97 @@ def test_interval_join_matches_naive(spark, case):
         if ek == ik and lo <= et <= hi
     }
     assert set(zip(got.event_id, got.iid)) == expect
+
+
+def _pandas_oracle_forward(state, queries, strict):
+    out = []
+    for ent, q_ts, q_id in queries:
+        cands = [
+            (ts, v)
+            for (e, ts, v) in state
+            if e == ent and (ts > q_ts if strict else ts >= q_ts)
+        ]
+        if cands:
+            ts = min(t for t, _ in cands)
+            v = max((v for t, v in cands if t == ts), key=lambda x: (x is not None, x))
+            out.append((q_id, ts, v))
+        else:
+            out.append((q_id, None, None))
+    return sorted(out)
+
+
+def _pandas_oracle_nearest(state, queries):
+    out = []
+    for ent, q_ts, q_id in queries:
+        cands = [(ts, v) for (e, ts, v) in state if e == ent]
+        if not cands:
+            out.append((q_id, None, None))
+            continue
+        best_gap = min(abs(ts - q_ts) for ts, _ in cands)
+        at_gap = [ts for ts, _ in cands if abs(ts - q_ts) == best_gap]
+        ts = min(at_gap)  # tie -> backward (earlier timestamp)
+        v = max((v for t, v in cands if t == ts), key=lambda x: (x is not None, x))
+        out.append((q_id, ts, v))
+    return sorted(out)
+
+
+def _dedup_state(state):
+    best = {}
+    for e, ts, v in state:
+        k = (e, ts)
+        if k not in best or (v is not None and (best[k] is None or v > best[k])):
+            best[k] = v
+    return [(e, ts, v) for (e, ts), v in best.items()]
+
+
+def _run_engine(spark, state, queries, **kw):
+    s_pd = pd.DataFrame(state, columns=["entity_id", "ts", "value"])
+    q_pd = pd.DataFrame(queries, columns=["entity_id", "q_ts", "q_id"])
+    s_df = spark.createDataFrame(s_pd) if len(s_pd) else spark.createDataFrame(
+        [], "entity_id string, ts bigint, value double"
+    )
+    out = asof_join(
+        spark.createDataFrame(q_pd), s_df, on="entity_id",
+        q_ts="q_ts", s_ts="ts", **kw,
+    ).toPandas()
+    return sorted(
+        (
+            int(r.q_id),
+            None if pd.isna(r.matched_ts) else int(r.matched_ts),
+            None if pd.isna(r.value) else float(r.value),
+        )
+        for r in out.itertuples()
+    )
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_asof_forward_matches_pandas_oracle(spark, strict, case):
+    state, queries = case
+    state = _dedup_state(state)
+    got = _run_engine(spark, state, queries, direction="forward", strict=strict)
+    want = sorted(
+        (q, ts, None if v is None else float(v))
+        for q, ts, v in _pandas_oracle_forward(state, queries, strict)
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_asof_nearest_matches_pandas_oracle(spark, case):
+    state, queries = case
+    state = _dedup_state(state)
+    got = _run_engine(spark, state, queries, direction="nearest")
+    want = sorted(
+        (q, ts, None if v is None else float(v))
+        for q, ts, v in _pandas_oracle_nearest(state, queries)
+    )
+    assert got == want
