@@ -1682,6 +1682,56 @@ def q_temporal_split(spark, sf_dir):
     ).select("event_id", "user_id", "split")
 
 
+def q_cosine_topk_join(spark, sf_dir):
+    """Two-table retrieval: every 10th vector queries the remaining
+    corpus for its top-5 cosine neighbors (broadcast query side, corpus
+    never shuffles)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return similarity.cosine_topk_join(qs, corpus, k=5).select(
+        "id_q", "id_c", "rank", F.round("cosine", _R).alias("cosine")
+    )
+
+
+def q_enrich_stream(spark, sf_dir):
+    """Stream × static broadcast enrichment through the gate: the events
+    parquet as a file stream, each event joined to a batch-computed
+    per-user event-count dim (stateless — append mode is deterministic
+    regardless of micro-batch slicing, no watermark tricks needed)."""
+    import tempfile
+    import uuid
+
+    from topo_descriptors_spark.streaming.sessions import enrich_stream
+
+    ev_batch = _events(spark, sf_dir)
+    dim = ev_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n_events")
+    )
+    schema = ev_batch.schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id")
+    )
+    out = enrich_stream(ev, dim, on="user_id")
+    name = "enr_gate_" + uuid.uuid4().hex[:8]
+    ckp = tempfile.mkdtemp(prefix="ckp_enr_gate_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckp)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", F.col("user_n_events").cast("long").alias("user_n_events")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multiscale window features + sessionize + as-of context
     on sf0.001 — the engine's whole lifecycle in one plan."""
@@ -1777,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_temporal_split": q_temporal_split,
         "w_window_counts_stream": q_window_counts_stream,
         "j_asof_nearest": q_asof_nearest,
+        "s_cosine_topk_join": q_cosine_topk_join,
+        "w_enrich_stream": q_enrich_stream,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -3808,6 +3860,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id, start_us
+        """,
+        "s_cosine_topk_join": f"""
+            WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                       WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id % 10 <> 0),
+            qn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q
+                   WHERE sqrt(list_dot_product(v, v)) > 0),
+            cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c
+                   WHERE sqrt(list_dot_product(v, v)) > 0),
+            p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+                         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+                           AS cosine
+                  FROM qn a, cn b),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id_q
+                                ORDER BY cosine DESC, id_c) AS rank FROM p)
+            SELECT id_q, id_c, rank, round(cosine, {_R}) AS cosine
+            FROM r WHERE rank <= 5
+        """,
+        "w_enrich_stream": """
+            WITH dim AS (SELECT user_id, count(*)::BIGINT AS user_n_events
+                         FROM events GROUP BY user_id)
+            SELECT e.event_id, e.user_id, dim.user_n_events
+            FROM events e LEFT JOIN dim USING (user_id)
         """,
         "j_asof_nearest": """
             SELECT c.event_id AS q_id, c.user_id, c.ts AS q_ts,

@@ -343,3 +343,88 @@ def test_temporal_split_validates_frac(spark):
 
     with pytest.raises(ValueError):
         temporal_split(df, valid_frac=1.5)
+
+
+# ------------------------------------------------------ two-table retrieval
+
+
+def test_cosine_topk_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from topo_descriptors_spark.operators.similarity import cosine_topk_join
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    qs = df.where("vec_id % 5 = 0")
+    corpus = df.where("vec_id % 5 != 0")
+    out = cosine_topk_join(qs, corpus, k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id_q, []).append((r.rank, r.id_c))
+    # numpy brute force
+    qd = {i: np.array(v) for i, v in vecs if i % 5 == 0}
+    cd = {i: np.array(v) for i, v in vecs if i % 5 != 0}
+    for qi, qv in qd.items():
+        sims = sorted(
+            ((round(float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 9), -ci)
+             for ci, cv in cd.items()),
+            reverse=True,
+        )[:3]
+        want = [(-s[1]) for s in sims]
+        assert [c for _, c in sorted(got[qi])] == want, qi
+
+
+def test_cosine_topk_join_guard(spark):
+    from topo_descriptors_spark.operators.similarity import cosine_topk_join
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_join(df, df, max_query_rows=5)
+
+
+def test_cosine_topk_join_broadcasts_queries(spark):
+    from topo_descriptors_spark.operators.similarity import cosine_topk_join
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id int, embedding array<double>",
+    )
+    plan = (
+        cosine_topk_join(df.where("vec_id < 3"), df.where("vec_id >= 3"), k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------ stream enrichment
+
+
+def test_enrich_stream_equals_batch_join(spark, tmp_path):
+    import pandas as pd
+
+    from topo_descriptors_spark.streaming.sessions import enrich_stream
+
+    pdf = pd.DataFrame(
+        {"event_id": range(20), "user_id": [i % 4 for i in range(20)]}
+    )
+    src = str(tmp_path / "src"); (tmp_path / "src").mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{src}/b1")
+    dim = spark.createDataFrame(
+        pd.DataFrame({"user_id": [0, 1, 2], "tag": ["a", "b", "c"]})
+    )
+    schema = spark.read.parquet(f"{src}/b1").schema
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    out = enrich_stream(stream, dim, on="user_id")
+    q = (
+        out.writeStream.format("memory").queryName("enr_test")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckp")).start()
+    )
+    q.awaitTermination()
+    got = spark.table("enr_test").toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == 20  # left join keeps user 3 (no dim row)
+    assert got.loc[got.user_id == 3, "tag"].isna().all()
+    assert (got.loc[got.user_id == 1, "tag"] == "b").all()

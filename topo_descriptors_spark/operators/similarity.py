@@ -591,3 +591,64 @@ def dequantize_embeddings(
         out,
         F.expr(f"transform({q}, v -> cast(v as double) * {scale})"),
     )
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int = 9,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Two-table exact retrieval: for every QUERY vector, the top-k
+    cosine neighbors from a separate CORPUS table — the RAG /
+    seed-mining shape (cosine_topk is the self-join special case).
+
+    Plan for the 100-TB corpus: the QUERY side is the broadcast side
+    (bounded by ``max_query_rows``, guard-and-raise per the engine
+    convention), scoring is map-side over corpus partitions (the corpus
+    is scanned, never shuffled), and only the narrow (query, corpus_id,
+    cosine) triples shuffle for the per-query ranking window.  For
+    corpus-sized query sets use the LSH/IVF paths instead
+    (:func:`ann_topk_blocked`, :func:`ivf_topk`).
+
+    Query ids must be distinct; zero-norm vectors on either side are
+    excluded (cosine undefined); cosine is rounded before ranking, ties
+    break on corpus id ascending.
+    """
+    require_cols(queries, "cosine_topk_join(queries)",
+                 **{id_col: "atomic", vec: "array_numeric"})
+    require_cols(corpus, "cosine_topk_join(corpus)",
+                 **{id_col: "atomic", vec: "array_numeric"})
+    if max_query_rows is not None:
+        n = queries.limit(max_query_rows + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"cosine_topk_join: query side exceeds max_query_rows="
+                f"{max_query_rows} — broadcast retrieval needs a bounded "
+                "query set; use the ANN paths for corpus-sized queries, "
+                "or pass max_query_rows=None to override"
+            )
+    q = with_norm(queries.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
+        F.col(id_col).alias("id_q"), F.col(vec).alias("vq"),
+        F.col("_norm").alias("nq"),
+    )
+    c = with_norm(corpus.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
+        F.col(id_col).alias("id_c"), F.col(vec).alias("vc"),
+        F.col("_norm").alias("nc"),
+    )
+    cos = F.round(
+        dot_col("vq", "vc") / (F.col("nq") * F.col("nc")), round_digits
+    ).alias("cosine")
+    scored = c.join(F.broadcast(q)).select("id_q", "id_c", cos)
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id_q").orderBy(
+                F.col("cosine").desc(), F.col("id_c").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= int(k))

@@ -124,3 +124,27 @@ def windowed_counts_stream(
             "sum_value",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream × static broadcast enrichment join — the stateless
+    streaming shape (dimension lookup per event: user profile, model
+    routing table, feature store snapshot).
+
+    The static side is explicitly ``broadcast()`` so every micro-batch
+    plans a BroadcastHashJoin: no shuffle, no state store, result rows
+    independent of micro-batch slicing (gate-deterministic in append
+    mode, unlike stateful aggregates).  For a SLOWLY CHANGING dimension,
+    re-read it per trigger via a ``foreachBatch`` re-join or switch to
+    a stream-stream join with watermarks; this operator is the static
+    form.
+    """
+    from pyspark.sql import functions as _F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    return events.join(_F.broadcast(dim), keys, how)
