@@ -1732,6 +1732,23 @@ def q_enrich_stream(spark, sf_dir):
     )
 
 
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over events.user_id — identical
+    result to the plain groupBy (the oracle IS the plain groupBy), hot
+    keys bounded at rows/salt_buckets per reducer."""
+    from topo_descriptors_spark.operators.features import salted_agg
+
+    out = salted_agg(
+        _events(spark, sf_dir), "user_id",
+        {"value": ["count", "sum", "avg", "min", "max"]}, salt_buckets=16,
+    )
+    return out.select(
+        "user_id", "value_count", _r("value_sum").alias("value_sum"),
+        _r("value_avg").alias("value_avg"), _r("value_min").alias("value_min"),
+        _r("value_max").alias("value_max"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multiscale window features + sessionize + as-of context
     on sf0.001 — the engine's whole lifecycle in one plan."""
@@ -1829,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_nearest": q_asof_nearest,
         "s_cosine_topk_join": q_cosine_topk_join,
         "w_enrich_stream": q_enrich_stream,
+        "a_salted_agg": q_salted_agg,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -3896,6 +3914,14 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY abs(epoch(c.ts) - epoch(p.ts)), p.ts
               LIMIT 1
             ) s ON true
+        """,
+        "a_salted_agg": """
+            SELECT user_id, count(value)::BIGINT AS value_count,
+                   round(sum(value), 6) AS value_sum,
+                   round(sum(value) / count(value), 6) AS value_avg,
+                   round(min(value), 6) AS value_min,
+                   round(max(value), 6) AS value_max
+            FROM events GROUP BY user_id
         """,
         "p_temporal_split": """
             SELECT event_id, user_id,

@@ -428,3 +428,58 @@ def test_enrich_stream_equals_batch_join(spark, tmp_path):
     assert len(got) == 20  # left join keeps user 3 (no dim row)
     assert got.loc[got.user_id == 3, "tag"].isna().all()
     assert (got.loc[got.user_id == 1, "tag"] == "b").all()
+
+
+# ------------------------------------------------------- salted aggregation
+
+
+def test_salted_agg_equals_plain_groupby_under_skew(spark):
+    from topo_descriptors_spark.operators.features import salted_agg
+
+    # one hot key with 90% of the rows
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot")).otherwise(
+            (F.col("id") % 7).cast("string")
+        ).alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    got = {
+        r.k: r for r in salted_agg(
+            df, "k", {"v": ["count", "sum", "avg", "min", "max"]}, salt_buckets=8
+        ).collect()
+    }
+    want = {
+        r.k: r for r in df.groupBy("k").agg(
+            F.count("v").alias("v_count"), F.sum("v").alias("v_sum"),
+            F.avg("v").alias("v_avg"), F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].v_count == want[k].v_count
+        assert got[k].v_sum == pytest.approx(want[k].v_sum)
+        assert got[k].v_avg == pytest.approx(want[k].v_avg)  # not avg-of-avgs
+        assert got[k].v_min == want[k].v_min
+        assert got[k].v_max == want[k].v_max
+
+
+def test_salted_agg_count_ignores_nulls(spark):
+    from topo_descriptors_spark.operators.features import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    got = {r.k: r.v_count for r in
+           salted_agg(df, "k", {"v": ["count"]}, salt_buckets=4).collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_salted_agg_validates(spark):
+    from topo_descriptors_spark.operators.features import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_agg(df, "k", {"v": ["median"]})
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_agg(df, "k", {"v": ["sum"]}, salt_buckets=1)

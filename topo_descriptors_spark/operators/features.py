@@ -841,3 +841,103 @@ def cms_counts(
         e = F.col(f"_cnt{i}")
         est = e if est is None else F.least(est, e)
     return out.select(key, est.alias("est"), "n_true")
+
+
+# aggregate specs supported by the two-phase salted re-aggregation:
+# partial name -> (partial agg fn, final combiner over partials)
+_SALTED_AGGS = ("count", "sum", "min", "max", "avg")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: dict[str, Sequence[str]],
+    salt_buckets: int = 32,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED grouping keys: groupBy
+    ``(keys, salt)`` first (the hot key's rows spread over
+    ``salt_buckets`` reducers), then re-aggregate the per-salt partials
+    by ``keys`` alone — a second, tiny shuffle of at most
+    ``|distinct keys| × salt_buckets`` rows.
+
+    When to use: AQE's skew handling splits oversized partitions for
+    JOINS, but a hot grouping key still lands every row on one reducer
+    in a plain hash aggregate's final stage once map-side partial
+    aggregation stops helping (high-cardinality accumulators, or a
+    single key carrying a double-digit fraction of the table — the
+    exact shape `heavy_hitters` diagnoses).  Salting bounds the hottest
+    reducer at ``rows(hot_key) / salt_buckets``.
+
+    ``values`` maps column -> aggregate names from {count, sum, min,
+    max, avg}; avg is re-aggregated correctly as sum-of-sums /
+    sum-of-counts, never an average of averages.  Output column names
+    are ``<col>_<agg>`` (``count`` ignores its column's nulls exactly
+    like SQL COUNT(col)).  ``salt_col`` defaults to a deterministic
+    hash of the whole row's key columns plus ``spark_partition_id`` —
+    any existing column may be supplied instead.
+
+    The result is EXACTLY ``df.groupBy(keys).agg(...)`` (oracle-checked
+    by the driver gate); only the physical shuffle layout differs.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    require_cols(df, "salted_agg", **{c: "atomic" for c in keys})
+    if salt_buckets < 2:
+        raise ValueError("salt_buckets must be >= 2")
+    for col, aggs in values.items():
+        bad = set(aggs) - set(_SALTED_AGGS)
+        if bad:
+            raise ValueError(
+                f"salted_agg: unsupported aggregates {sorted(bad)} for "
+                f"{col!r}; supported: {_SALTED_AGGS}"
+            )
+    if salt_col is None:
+        # spark_partition_id spreads a hot key even when every other
+        # column ties; xxhash64 decorrelates the buckets from the keys
+        d = df.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.lit(int(salt_buckets)),
+            ),
+        )
+    else:
+        d = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(int(salt_buckets)))
+        )
+
+    partials, finals = [], []
+    for col, aggs in values.items():
+        need_avg = "avg" in aggs
+        for a in aggs:
+            if a == "count":
+                partials.append(F.count(F.col(col)).alias(f"_p_cnt_{col}"))
+                finals.append(F.sum(f"_p_cnt_{col}").alias(f"{col}_count"))
+            elif a == "sum":
+                partials.append(F.sum(F.col(col)).alias(f"_p_sum_{col}"))
+                finals.append(F.sum(f"_p_sum_{col}").alias(f"{col}_sum"))
+            elif a == "min":
+                partials.append(F.min(F.col(col)).alias(f"_p_min_{col}"))
+                finals.append(F.min(f"_p_min_{col}").alias(f"{col}_min"))
+            elif a == "max":
+                partials.append(F.max(F.col(col)).alias(f"_p_max_{col}"))
+                finals.append(F.max(f"_p_max_{col}").alias(f"{col}_max"))
+        if need_avg:
+            if not any(a == "sum" for a in aggs):
+                partials.append(F.sum(F.col(col)).alias(f"_p_sum_{col}"))
+            if not any(a == "count" for a in aggs):
+                partials.append(F.count(F.col(col)).alias(f"_p_cnt_{col}"))
+            finals.append(
+                (F.sum(f"_p_sum_{col}") / F.sum(f"_p_cnt_{col}")).alias(
+                    f"{col}_avg"
+                )
+            )
+    # de-dup partials added twice (explicit sum/count + avg need)
+    seen, uniq = set(), []
+    for p in partials:
+        n = p._jc.toString()
+        if n not in seen:
+            seen.add(n)
+            uniq.append(p)
+    stage1 = d.groupBy(*keys, "_salt").agg(*uniq)
+    return stage1.groupBy(*keys).agg(*finals)
