@@ -1,6 +1,7 @@
 """Scan-layer floor filter (P1, reference helpers.py:31/conf:2)."""
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -60,3 +61,72 @@ def test_clustered_write_enables_file_skipping(spark, tmp_path):
         .count()
     )
     assert wide > narrow
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark, tmp_path):
+    """Z-order keeps every file narrow in BOTH columns: a selective
+    filter on either dimension touches a strict subset of files, where
+    the lexicographic layout only prunes its leading column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from topo_descriptors_spark.sources.io import write_table
+
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("x"),
+        F.pmod(F.col("id"), F.lit(n)).alias("y"),
+        F.rand(11).alias("noise"),
+    )
+
+    zpath = str(tmp_path / "zorder")
+    write_table(grid, zpath, zorder_by=["x", "y"], n_files=16)
+    assert len([f for f in os.listdir(zpath) if f.endswith(".parquet")]) == 16
+
+    lexpath = str(tmp_path / "lex")
+    write_table(grid, lexpath, cluster_by=["x", "y"], n_files=16)
+
+    def files_touched(path, col):
+        return (
+            spark.read.parquet(path)
+            .where(F.col(col).between(10, 25))  # 1/16th of either range
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # leading column: both layouts prune hard
+    assert files_touched(zpath, "x") <= 8
+    assert files_touched(lexpath, "x") <= 2
+    # trailing column: lexicographic CANNOT prune (every file spans all
+    # of y); z-order still touches only a subset
+    assert files_touched(lexpath, "y") == 16
+    assert files_touched(zpath, "y") <= 8
+
+
+def test_zorder_validates(spark):
+    from topo_descriptors_spark.sources.io import write_table, zorder_col
+
+    df = spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_col(df, ["x"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_table(df, "/tmp/nope", cluster_by=["x"], zorder_by=["x", "y"])
+
+
+def test_zorder_preserves_rows_and_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from topo_descriptors_spark.sources.io import write_table
+
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), F.pmod(F.col("id") * 7, F.lit(100)).alias("y"),
+        F.lit("payload").alias("s"),
+    )
+    p = str(tmp_path / "z")
+    write_table(df, p, zorder_by=["x", "y"], n_files=4)
+    back = spark.read.parquet(p)
+    assert sorted(back.columns) == ["s", "x", "y"]  # no _zval/_zmin leakage
+    assert back.count() == 1000
+    assert back.agg(F.sum("x")).collect()[0][0] == 999 * 1000 // 2

@@ -39,6 +39,51 @@ def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TPCH_TABLES}
 
 
+ZORDER_BITS = 12  # 4096 buckets per dimension — plenty for file-level stats
+
+
+def zorder_col(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Morton (Z-order) curve value over 2+ numeric columns, pure JVM
+    expressions: each column is linearly bucketed into ``2^bits`` bins
+    between its min and max (one tiny scalar aggregate, broadcast back),
+    then the bucket ids' bits are interleaved.  Sorting by the result
+    places rows close in EVERY dimension into the same files, so
+    parquet min/max footer stats prune scans filtered on ANY of the
+    columns — lexicographic sort only ever prunes the leading one.
+
+    Returns ``(df_with_stats, zcol)``; NULLs in any dimension sort
+    first (bucket 0).  Linear binning assumes roughly bounded ranges
+    (fine for ids/timestamps/coords); for heavy-tailed columns bucket a
+    rank or log transform instead.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns; use cluster_by for 1")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_zmin_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_zmax_{c}") for c in cols],
+    )
+    d = df.crossJoin(F.broadcast(stats))
+    n = len(cols)
+    buckets = []
+    hi = (1 << bits) - 1
+    for c in cols:
+        span = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
+        frac = F.when(
+            span > 0, (F.col(c).cast("double") - F.col(f"_zmin_{c}")) / span
+        ).otherwise(F.lit(0.0))
+        b = F.least(
+            F.lit(hi),
+            F.greatest(F.lit(0), F.floor(frac * (1 << bits)).cast("long")),
+        )
+        buckets.append(F.coalesce(b, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, b in enumerate(buckets):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return d, z
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -46,15 +91,33 @@ def write_table(
     mode: str = "overwrite",
     fmt: str = "parquet",
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     n_files: int | None = None,
 ) -> None:
     """Table sink.  ``cluster_by`` range-partitions the data on those
     columns and sorts within each output file, so each file covers a
     narrow, non-overlapping key range — parquet min/max footer stats
     then let later range/equality scans SKIP whole files (the poor
-    man's clustering an Iceberg sort-order would give).  ``n_files``
-    bounds the file count for the clustered layout."""
-    if cluster_by:
+    man's clustering an Iceberg sort-order would give).  ``zorder_by``
+    does the same along a Morton curve over MULTIPLE columns (the
+    Delta/Iceberg OPTIMIZE ZORDER analog): files stay narrow in every
+    listed dimension, so filters on any one of them skip files —
+    mutually exclusive with ``cluster_by``.  ``n_files`` bounds the
+    file count for either clustered layout."""
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        d, z = zorder_col(df, zorder_by)
+        d = d.withColumn("_zval", z)
+        if n_files:
+            d = d.repartitionByRange(int(n_files), F.col("_zval"))
+        else:
+            d = d.repartitionByRange(F.col("_zval"))
+        df = d.sortWithinPartitions("_zval").drop(
+            "_zval", *[f"_zmin_{c}" for c in zorder_by],
+            *[f"_zmax_{c}" for c in zorder_by],
+        )
+    elif cluster_by:
         cols = [F.col(c) for c in cluster_by]
         if n_files:
             df = df.repartitionByRange(int(n_files), *cols)
