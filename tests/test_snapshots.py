@@ -258,3 +258,61 @@ def test_read_incremental_rejects_non_append(spark, tmp_path):
     )
     with _pt.raises(ValueError, match="append-only"):
         S.read_incremental(spark, t, v1)
+
+
+def test_rewrite_data_files_compacts_appends(spark, tmp_path):
+    """Ten tiny append versions -> one compacted version; history and
+    time travel intact; row counts preserved."""
+    from topo_descriptors_spark.sources.snapshots import (
+        current_version,
+        read_manifest,
+        read_snapshot,
+        rewrite_data_files,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(10):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id * 2 as v"
+        ).repartition(4)  # 4 small files per append
+        write_snapshot(df, t, mode="append")
+    v_before = current_version(t)
+    report = rewrite_data_files(spark, t, target_file_bytes=1 << 30)
+    assert report["files_before"] == 40
+    assert report["files_after"] == 1  # everything fits one target file
+    assert report["rows"] == 1000
+    # compacted CURRENT reads identically
+    back = read_snapshot(spark, t)
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 2 * (999 * 1000 // 2)
+    # time travel to the pre-compaction version still works
+    old = read_snapshot(spark, t, version=v_before)
+    assert old.count() == 1000
+    m = read_manifest(t)
+    assert m["lineage"]["operation"] == "rewrite_data_files"
+    assert m["lineage"]["source_version"] == v_before
+
+
+def test_rewrite_data_files_with_zorder(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from topo_descriptors_spark.sources.snapshots import (
+        read_snapshot,
+        rewrite_data_files,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tblz")
+    df = spark.range(5000).select(
+        (F.col("id") / 100).cast("long").alias("x"),
+        F.pmod(F.col("id"), F.lit(100)).alias("y"),
+    )
+    write_snapshot(df.repartition(8), t, mode="append")
+    report = rewrite_data_files(
+        spark, t, target_file_bytes=4096, zorder_by=["x", "y"]
+    )
+    assert report["files_after"] >= 2
+    back = read_snapshot(spark, t)
+    assert sorted(back.columns) == ["x", "y"]  # no helper-column leakage
+    assert back.count() == 5000

@@ -313,3 +313,89 @@ def read_incremental(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, d) for d in delta]
     )
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the ``rewrite_data_files`` maintenance
+    action of the table-format playbook.  An append-heavy table (one
+    data dir per checkpointed unit / streaming micro-batch) accumulates
+    thousands of small files; every read then pays per-file open +
+    footer costs and the scheduler per-file task overhead.  This
+    rewrites CURRENT into ``ceil(total_bytes / target_file_bytes)``
+    right-sized files as a NEW version — prior versions keep the old
+    layout for time travel, and ``expire_snapshots`` reclaims it later.
+
+    ``cluster_by`` / ``zorder_by`` re-sort during the rewrite (the
+    natural moment to establish a clustered layout — compaction is the
+    only time the whole table rewrites anyway).
+
+    Safety: the compacted version's observed row count must equal the
+    source's manifest count; on mismatch CURRENT is rolled back to the
+    source version and the compaction raises — a bad rewrite can never
+    become the visible table state.
+    """
+    m = read_manifest(table_dir)
+    src_files, src_bytes = [], 0
+    for rel in m["data_dirs"]:
+        d = os.path.join(table_dir, rel)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                p = os.path.join(d, name)
+                src_files.append(p)
+                src_bytes += os.path.getsize(p)
+    n_files = max(1, -(-src_bytes // int(target_file_bytes)))
+    df = read_snapshot(spark, table_dir)
+    if zorder_by or cluster_by:
+        from topo_descriptors_spark.sources.io import zorder_col
+
+        if zorder_by and cluster_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if zorder_by:
+            d2, z = zorder_col(df, zorder_by)
+            df = (
+                d2.withColumn("_zval", z)
+                .repartitionByRange(n_files, F.col("_zval"))
+                .sortWithinPartitions("_zval")
+                .drop("_zval", *[f"_zmin_{c}" for c in zorder_by],
+                      *[f"_zmax_{c}" for c in zorder_by])
+            )
+        else:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n_files)
+    version = write_snapshot(
+        df, table_dir, mode="overwrite",
+        lineage={
+            "operation": "rewrite_data_files",
+            "source_version": m["version"],
+            "files_before": len(src_files),
+            "bytes_before": src_bytes,
+            "target_file_bytes": int(target_file_bytes),
+        },
+    )
+    new = read_manifest(table_dir, version)
+    if new["row_count"] != m["row_count"]:
+        rollback(table_dir, m["version"])
+        raise RuntimeError(
+            f"rewrite_data_files: row count changed during compaction "
+            f"({m['row_count']} -> {new['row_count']}); CURRENT rolled "
+            f"back to v{m['version']}"
+        )
+    out_dir = os.path.join(table_dir, new["data_dirs"][-1])
+    files_after = len(
+        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    )
+    return {
+        "version": version,
+        "files_before": len(src_files),
+        "files_after": files_after,
+        "bytes_before": src_bytes,
+        "rows": new["row_count"],
+    }
