@@ -1837,8 +1837,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their new behavior is pinned by pytest and re-verified via
         # scripts/selfcheck.py at sf0.01 (see COVERAGE.md) — they rotate
         # back into the official window next round. --
+        # ROUND-5 CURATION NOTE: 58 queries now sit past the window (15
+        # never-officially-recorded round-4 additions + 43 with r3
+        # rows).  In r5, order them: the 15 unrecorded FIRST, then the
+        # r3-recorded rows oldest-first; 8 of the r3 rows will spill to
+        # r6 (2 rounds stale — the same precedent as r2+judge).
         # (new late in round 4 — verified by selfcheck + pytest this
-        # round, official row when they rotate to the front in r5)
+        # round at sf0.001/sf0.01/sf0.1, official row when they rotate
+        # to the front in r5)
         "a_ohlc": q_ohlc,
         "k_cms_counts": q_cms_counts,
         "p_temporal_split": q_temporal_split,
