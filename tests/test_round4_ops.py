@@ -483,3 +483,40 @@ def test_salted_agg_validates(spark):
         salted_agg(df, "k", {"v": ["median"]})
     with pytest.raises(ValueError, match="salt_buckets"):
         salted_agg(df, "k", {"v": ["sum"]}, salt_buckets=1)
+
+
+# ------------------------------------------------------------- plan shapes
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_never_shuffles_corpus(spark, tiny_docs):
+    """BM25's only data movement is the one-row stats broadcast: the
+    corpus side must not hash-partition at all."""
+    plan = _plan_of(bm25_score(tiny_docs, ["data", "model"]))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_token_bigrams_single_shuffle_and_topk(spark):
+    from topo_descriptors_spark.operators.text import token_bigram_topk
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id int, text string")
+    plan = _plan_of(token_bigram_topk(df, k=10))
+    # one groupBy shuffle; the final top-k is TakeOrdered, never a sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_topk_not_global_sort(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    plan = _plan_of(heavy_hitters(df, "k", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # one-row total joins broadcast
+
+
+def test_gopher_rules_map_only(spark, tiny_docs):
+    plan = _plan_of(gopher_rules(tiny_docs))
+    assert "Exchange" not in plan  # pure in-row expressions
