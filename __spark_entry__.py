@@ -1749,6 +1749,20 @@ def q_salted_agg(spark, sf_dir):
     )
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script composition per doc (portable codepoint-range
+    regexp counts, map-only)."""
+    return text.script_profile(_docs(spark, sf_dir).select("doc_id", "text")).drop(
+        "text"
+    )
+
+
+def q_dataset_card(spark, sf_dir):
+    """One-row corpus summary (dataset-card numbers) in a single
+    aggregation pass."""
+    return text.dataset_card(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multiscale window features + sessionize + as-of context
     on sf0.001 — the engine's whole lifecycle in one plan."""
@@ -1837,11 +1851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their new behavior is pinned by pytest and re-verified via
         # scripts/selfcheck.py at sf0.01 (see COVERAGE.md) — they rotate
         # back into the official window next round. --
-        # ROUND-5 CURATION NOTE: 58 queries now sit past the window (15
-        # never-officially-recorded round-4 additions + 43 with r3
-        # rows).  In r5, order them: the 15 unrecorded FIRST, then the
-        # r3-recorded rows oldest-first; 8 of the r3 rows will spill to
-        # r6 (2 rounds stale — the same precedent as r2+judge).
+        # ROUND-5 CURATION NOTE: 60 queries now sit past the window (10
+        # never-officially-recorded round-4 additions + 50 with r3
+        # rows).  In r5, order them: the 10 unrecorded FIRST, then the
+        # r3-recorded rows oldest/changed-first; 10 of the r3 rows spill
+        # to r6 (2 rounds stale — the same precedent as r2+judge).
         # (new late in round 4 — verified by selfcheck + pytest this
         # round at sf0.001/sf0.01/sf0.1, official row when they rotate
         # to the front in r5)
@@ -1853,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_cosine_topk_join": q_cosine_topk_join,
         "w_enrich_stream": q_enrich_stream,
         "a_salted_agg": q_salted_agg,
+        "t_script_profile": q_script_profile,
+        "t_dataset_card": q_dataset_card,
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -3920,6 +3936,27 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY abs(epoch(c.ts) - epoch(p.ts)), p.ts
               LIMIT 1
             ) s ON true
+        """,
+        "t_script_profile": """
+            WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin, len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS n_cjk, len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS n_cyrillic, len(regexp_extract_all(text, '[؀-ۿ]')) AS n_arabic, len(regexp_extract_all(text, '[ऀ-ॿ]')) AS n_devanagari FROM documents)
+            SELECT doc_id, CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari > 0 THEN round(n_latin::DOUBLE/(n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari),6) END AS latin_frac,
+                   CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari > 0 THEN round(n_cjk::DOUBLE/(n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari),6) END AS cjk_frac,
+                   CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari > 0 THEN round(n_cyrillic::DOUBLE/(n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari),6) END AS cyrillic_frac,
+                   CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari > 0 THEN round(n_arabic::DOUBLE/(n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari),6) END AS arabic_frac,
+                   CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari > 0 THEN round(n_devanagari::DOUBLE/(n_latin + n_cjk + n_cyrillic + n_arabic + n_devanagari),6) END AS devanagari_frac,
+                   CASE WHEN n_devanagari > CASE WHEN n_arabic > CASE WHEN n_cyrillic > CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END THEN n_cyrillic ELSE CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END END THEN n_arabic ELSE CASE WHEN n_cyrillic > CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END THEN n_cyrillic ELSE CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END END END THEN 'devanagari' ELSE CASE WHEN n_arabic > CASE WHEN n_cyrillic > CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END THEN n_cyrillic ELSE CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END END THEN 'arabic' ELSE CASE WHEN n_cyrillic > CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN n_cjk ELSE CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END END THEN 'cyrillic' ELSE CASE WHEN n_cjk > CASE WHEN n_latin > 0 THEN n_latin ELSE 0 END THEN 'cjk' ELSE CASE WHEN n_latin > 0 THEN 'latin' ELSE 'und' END END END END END AS dominant_script
+            FROM c
+        """,
+        "t_dataset_card": f"""
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len({_DW}))::BIGINT AS total_words,
+                   round(avg(len({_DW})), 6) AS mean_words,
+                   round(avg(CASE WHEN coalesce(len(text),0) = 0
+                             THEN 1.0 ELSE 0.0 END), 6) AS empty_frac,
+                   round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+                     AS dup_frac,
+                   count(DISTINCT source)::BIGINT AS n_sources
+            FROM documents
         """,
         "a_salted_agg": """
             SELECT user_id, count(value)::BIGINT AS value_count,

@@ -520,3 +520,53 @@ def test_heavy_hitters_topk_not_global_sort(spark):
 def test_gopher_rules_map_only(spark, tiny_docs):
     plan = _plan_of(gopher_rules(tiny_docs))
     assert "Exchange" not in plan  # pure in-row expressions
+
+
+# ------------------------------------------------- script profile + card
+
+
+def test_script_profile_detects_scripts(spark):
+    from topo_descriptors_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello plain english text"),
+        (2, "Привет мир Привет"),
+        (3, "漢字テキストです"),
+        (4, "mixed Привет hello"),
+        (5, "12345 !!! ..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].latin_frac == 1.0
+    assert out[2].dominant_script == "cyrillic"
+    assert out[3].dominant_script == "cjk"
+    assert out[4].dominant_script in ("latin", "cyrillic")
+    assert out[4].latin_frac > 0 and out[4].cyrillic_frac > 0
+    assert out[5].dominant_script == "und"  # no script chars at all
+    assert out[5].latin_frac is None
+
+
+def test_script_profile_map_only(spark):
+    from topo_descriptors_spark.operators.text import script_profile
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dataset_card_numbers(spark):
+    from topo_descriptors_spark.operators.text import dataset_card
+
+    rows = [
+        (1, "one two three", "web"),
+        (2, "one two three", "web"),   # exact dup of 1
+        (3, "four five", "books"),
+        (4, "", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    r = dataset_card(df).collect()[0]
+    assert r.n_docs == 4
+    assert r.total_words == 8
+    assert r.empty_frac == 0.25
+    assert r.dup_frac == 0.25  # 3 distinct contents over 4 docs
+    assert r.n_sources == 2

@@ -854,3 +854,103 @@ def token_bigram_topk(
         .orderBy(F.col("n").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(int(k))
     )
+
+
+# Unicode script blocks as explicit codepoint ranges — the Java∩RE2
+# portable form (\p{script=...} names differ between engines)
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cjk": "一-鿿぀-ヿ가-힯",  # Han+Kana+Hangul
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+}
+
+
+def script_profile(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Unicode-script composition per document: the fraction of
+    script-bearing characters in each major block (Latin, CJK,
+    Cyrillic, Arabic, Devanagari) plus the dominant script — the
+    language signal that works where stopword lists don't (unsegmented
+    CJK, short strings, transliteration detection).
+
+    Map-only in-row regexp counts over explicit codepoint ranges (the
+    Java∩RE2-portable form, so DuckDB replays the fractions exactly);
+    deterministic argmax (earlier script wins ties).  Characters outside
+    every block (digits, punctuation, emoji) are excluded from the
+    denominator; a doc with no script characters is 'und'.
+    """
+    require_cols(df, "script_profile", **{id_col: "atomic", text: "string"})
+    rd = int(round_digits)
+    d = df
+    for name, rng in SCRIPT_RANGES.items():
+        d = d.withColumn(
+            f"_n_{name}",
+            F.size(F.regexp_extract_all(F.col(text), F.lit(f"[{rng}]"), F.lit(0))),
+        )
+    total = sum(F.col(f"_n_{n}") for n in SCRIPT_RANGES)
+    d = d.withColumn("_n_script", total)
+    fracs = []
+    for name in SCRIPT_RANGES:
+        d = d.withColumn(
+            f"{name}_frac",
+            F.when(
+                F.col("_n_script") > 0,
+                F.round(F.col(f"_n_{name}") / F.col("_n_script"), rd),
+            ),
+        )
+        fracs.append(name)
+    # deterministic argmax: fold in declaration order, strict > keeps ties
+    best_name, best_n = F.lit("und"), F.lit(0)
+    for name in SCRIPT_RANGES:
+        cond = F.col(f"_n_{name}") > best_n
+        best_name = F.when(cond, F.lit(name)).otherwise(best_name)
+        best_n = F.when(cond, F.col(f"_n_{name}")).otherwise(best_n)
+    return d.select(
+        *df.columns,
+        *[f"{n}_frac" for n in fracs],
+        best_name.alias("dominant_script"),
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-row corpus summary — the numbers a dataset card reports:
+    document count, total/mean whitespace-token counts, empty-doc and
+    exact-duplicate fractions, distinct sources.  ONE aggregation pass
+    whose per-row inputs are in-row expressions; the duplicate fraction
+    rides on count_distinct of the content md5 (exact; swap in the KMV
+    sketch at the scale where exact distinct hurts).
+    """
+    require_cols(df, "dataset_card", **{id_col: "atomic", text: "string"})
+    rd = int(round_digits)
+    nw = F.size(F.expr(words_sql(text)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nw).cast("long").alias("total_words"),
+        F.round(F.avg(nw), rd).alias("mean_words"),
+        F.round(
+            F.avg((F.coalesce(F.length(text), F.lit(0)) == 0).cast("double")), rd
+        ).alias("empty_frac"),
+        F.round(
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.md5(F.col(text).cast("binary")))
+                / F.count(F.lit(1))
+            ),
+            rd,
+        ).alias("dup_frac"),
+    ]
+    if source_col is not None and source_col in df.columns:
+        aggs.append(F.count_distinct(F.col(source_col)).alias("n_sources"))
+    return df.agg(*aggs)
