@@ -235,6 +235,12 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "d_token_prefix_dup",
         "a_heavy_hitters",
         "w_cum_distinct",
+        # late-round-4 additions: skew-proof agg, retrieval join, script
+        # profile, OHLC downsample
+        "a_salted_agg",
+        "s_cosine_topk_join",
+        "t_script_profile",
+        "a_ohlc",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate
