@@ -801,7 +801,9 @@ def cms_counts(
     pass joins the DISTINCT-key table against the broadcast cells and
     takes the min across rows.  Returns (key, est, n_true) — n_true is
     an exact count for auditability; at true scale drop it and keep the
-    sketch-only path.
+    sketch-only path.  NULL keys hash to NULL buckets and drop out of
+    the estimate join (identically in the SQL replay) — coalesce the
+    key first if NULL should count as a value.
     """
     from topo_descriptors_spark.operators.dedup import minhash_params
     from topo_descriptors_spark.operators.text import HASH_PRIME, PORTABLE_HASH_SQL
