@@ -797,13 +797,19 @@ def cms_counts(
 
     Plan: the sketch build is a map-side-combined groupBy whose shuffle
     carries at most ``depth × width`` cells per map partition — corpus
-    size independent, the whole sketch is broadcastable; the estimate
-    pass joins the DISTINCT-key table against the broadcast cells and
-    takes the min across rows.  Returns (key, est, n_true) — n_true is
-    an exact count for auditability; at true scale drop it and keep the
-    sketch-only path.  NULL keys hash to NULL buckets and drop out of
-    the estimate join (identically in the SQL replay) — coalesce the
-    key first if NULL should count as a value.
+    size independent.  The finished grid (``<= depth x width`` rows
+    regardless of corpus size) is collected to the driver in ONE job —
+    the engine's bounded-collect pattern (same as the IVF centroid
+    fit) — and embedded as per-row literal count arrays, so the
+    estimate pass is a pure map-side projection over the distinct-key
+    table: ``est = least_i(counts_i[b_i])``, zero joins, zero extra
+    scans.  (The previous shape joined ``cells.where(i == k)`` once per
+    sketch row, recomputing the full cell aggregation depth+1 times —
+    ADVICE r4.)  Returns (key, est, n_true) — n_true is an exact count
+    for auditability; at true scale drop it and keep the sketch-only
+    path.  NULL keys hash to NULL buckets and drop out of the estimate
+    (identically in the SQL replay) — coalesce the key first if NULL
+    should count as a value.
     """
     from topo_descriptors_spark.operators.dedup import minhash_params
     from topo_descriptors_spark.operators.text import HASH_PRIME, PORTABLE_HASH_SQL
@@ -833,16 +839,29 @@ def cms_counts(
         F.count(F.lit(1)).alias("n_true"),
         *[F.first(f"_b{i}").alias(f"_b{i}") for i in range(len(params))],
     )
-    est = None
-    out = keys
-    for i in range(len(params)):
-        c = cells.where(F.col("i") == i).select(
-            F.col("b").alias(f"_b{i}"), F.col("cnt").alias(f"_cnt{i}")
-        )
-        out = out.join(F.broadcast(c), f"_b{i}")
-        e = F.col(f"_cnt{i}")
-        est = e if est is None else F.least(est, e)
-    return out.select(key, est.alias("est"), "n_true")
+    # bounded collect: the grid is <= depth x width cells no matter the
+    # corpus size (one Spark job, computed once); NULL keys hash to a
+    # NULL bucket and never populate a cell
+    grid: dict[int, dict[int, int]] = {i: {} for i in range(len(params))}
+    for r in cells.collect():
+        if r["i"] is not None and r["b"] is not None:
+            grid[r["i"]][r["b"]] = r["cnt"]
+    counts = [
+        F.array(*[F.lit(grid[i].get(b, 0)) for b in range(int(width))])
+        for i in range(len(params))
+    ]
+    # element_at is 1-based; bucket values are 0..width-1 by pmod
+    ests = [
+        F.element_at(counts[i], F.col(f"_b{i}").cast("int") + F.lit(1))
+        for i in range(len(params))
+    ]
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    # NULL keys hash to NULL buckets: drop them exactly as the former
+    # inner cell-join did (and as the SQL oracle replays)
+    return (
+        keys.where(F.col("_b0").isNotNull())
+        .select(key, est.alias("est"), "n_true")
+    )
 
 
 # aggregate specs supported by the two-phase salted re-aggregation:
@@ -875,9 +894,18 @@ def salted_agg(
     max, avg}; avg is re-aggregated correctly as sum-of-sums /
     sum-of-counts, never an average of averages.  Output column names
     are ``<col>_<agg>`` (``count`` ignores its column's nulls exactly
-    like SQL COUNT(col)).  ``salt_col`` defaults to a deterministic
-    hash of the whole row's key columns plus ``spark_partition_id`` —
-    any existing column may be supplied instead.
+    like SQL COUNT(col)).  The salt must be DETERMINISTIC per row:
+    shuffle keys derived from ``spark_partition_id`` /
+    ``monotonically_increasing_id`` / ``rand`` re-bucket rows between
+    task attempts on retry or stage recomputation, silently double- or
+    under-counting stage-1 partials (the SPARK-23207 failure class) —
+    exactly in the large skewed-agg setting this operator targets.  The
+    default salt is ``pmod(xxhash64(<every input column>), buckets)``:
+    byte-identical rows co-locate in one salt bucket (harmless — a hot
+    KEY is still spread across buckets by its varying value columns,
+    and exact duplicate rows collapse in the map-side partial anyway),
+    while retries replay the identical bucketing.  ``salt_col`` may
+    name any existing column to salt by instead.
 
     The result is EXACTLY ``df.groupBy(keys).agg(...)`` (oracle-checked
     by the driver gate); only the physical shuffle layout differs.
@@ -894,12 +922,13 @@ def salted_agg(
                 f"{col!r}; supported: {_SALTED_AGGS}"
             )
     if salt_col is None:
-        # spark_partition_id spreads a hot key even when every other
-        # column ties; xxhash64 decorrelates the buckets from the keys
+        # deterministic: hash EVERY input column so the same row maps
+        # to the same bucket on every task attempt (see docstring);
+        # xxhash64 decorrelates the buckets from the grouping keys
         d = df.withColumn(
             "_salt",
             F.pmod(
-                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.xxhash64(*[F.col(c) for c in df.columns]),
                 F.lit(int(salt_buckets)),
             ),
         )

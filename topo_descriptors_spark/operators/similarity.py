@@ -614,7 +614,9 @@ def cosine_topk_join(
     corpus-sized query sets use the LSH/IVF paths instead
     (:func:`ann_topk_blocked`, :func:`ivf_topk`).
 
-    Query ids must be distinct; zero-norm vectors on either side are
+    Query ids must be distinct (guard-raised on the same bounded count
+    job that enforces ``max_query_rows``; with ``max_query_rows=None``
+    the caller vouches for both); zero-norm vectors on either side are
     excluded (cosine undefined); cosine is rounded before ranking, ties
     break on corpus id ascending.
     """
@@ -623,13 +625,24 @@ def cosine_topk_join(
     require_cols(corpus, "cosine_topk_join(corpus)",
                  **{id_col: "atomic", vec: "array_numeric"})
     if max_query_rows is not None:
-        n = queries.limit(max_query_rows + 1).count()
-        if n > max_query_rows:
+        sz = queries.limit(max_query_rows + 1).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).first()
+        if sz["n"] > max_query_rows:
             raise ValueError(
                 f"cosine_topk_join: query side exceeds max_query_rows="
                 f"{max_query_rows} — broadcast retrieval needs a bounded "
                 "query set; use the ANN paths for corpus-sized queries, "
                 "or pass max_query_rows=None to override"
+            )
+        # guard-and-raise (engine convention): duplicate query ids would
+        # silently interleave two result sets under one id_q ranking —
+        # piggybacks on the same bounding job, no extra scan
+        if sz["nd"] != sz["n"]:
+            raise ValueError(
+                f"cosine_topk_join: query ids must be distinct "
+                f"({sz['n']} rows, {sz['nd']} distinct {id_col!r})"
             )
     q = with_norm(queries.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
         F.col(id_col).alias("id_q"), F.col(vec).alias("vq"),

@@ -351,6 +351,9 @@ def rewrite_data_files(
                 src_bytes += os.path.getsize(p)
     n_files = max(1, -(-src_bytes // int(target_file_bytes)))
     df = read_snapshot(spark, table_dir)
+    # needed only when the source manifest has row_count=None (see the
+    # safety check below); counted on the SOURCE version's files
+    df_rows = df.count() if m["row_count"] is None else None
     if zorder_by or cluster_by:
         from topo_descriptors_spark.sources.io import zorder_col
 
@@ -381,11 +384,17 @@ def rewrite_data_files(
         },
     )
     new = read_manifest(table_dir, version)
-    if new["row_count"] != m["row_count"]:
+    # versions published via commit_dirs may carry row_count=None — an
+    # unknown source count is not a mismatch; fall back to the count
+    # observed on the read we just compacted from
+    src_rows = m["row_count"]
+    if src_rows is None:
+        src_rows = df_rows
+    if src_rows is not None and new["row_count"] != src_rows:
         rollback(table_dir, m["version"])
         raise RuntimeError(
             f"rewrite_data_files: row count changed during compaction "
-            f"({m['row_count']} -> {new['row_count']}); CURRENT rolled "
+            f"({src_rows} -> {new['row_count']}); CURRENT rolled "
             f"back to v{m['version']}"
         )
     out_dir = os.path.join(table_dir, new["data_dirs"][-1])
