@@ -115,3 +115,35 @@ def test_require_cols_is_driver_side_only(df):
     guarded.collect = boom
     require_cols(guarded, "op", entity_id="atomic", value="numeric",
                  ts="time_axis")
+
+
+def test_reserved_temp_columns_raise_not_clobber(df, spark):
+    """VERDICT r4: an input already carrying an operator's internal
+    temp-column name must raise cleanly, never be silently clobbered.
+    One probe per operator named in the verdict, plus the factored
+    helper itself."""
+    from topo_descriptors_spark.functions.validate import reserve_cols
+    from topo_descriptors_spark.operators import features as FE
+
+    reserve_cols(df, "op", "_nope")  # absent -> no-op
+    with pytest.raises(SchemaError, match=r"op: .*reserved.*_ts"):
+        reserve_cols(df.withColumn("_ts", F.lit(1)), "op", "_ts")
+
+    with_bkt = df.withColumn("_bkt", F.lit(0))
+    with pytest.raises(SchemaError, match="resample_ohlc"):
+        FE.resample_ohlc(with_bkt, 60, value="value",
+                         entity="entity_id", order="ts")
+
+    docs = df.select(F.col("entity_id").cast("string").alias("doc_id"), "text")
+    with pytest.raises(SchemaError, match="gopher_rules"):
+        text.gopher_rules(docs.withColumn("_gw", F.lit(0)))
+    with pytest.raises(SchemaError, match="token_bigram_topk"):
+        text.token_bigram_topk(docs.withColumn("_toks", F.lit(0)))
+    with pytest.raises(SchemaError, match="bm25_score"):
+        text.bm25_score(docs.withColumn("_dl", F.lit(0)), ["hello"])
+    with pytest.raises(SchemaError, match="script_profile"):
+        text.script_profile(docs.withColumn("_n_script", F.lit(0)))
+    # script_profile also reserves its OUTPUT names: a pre-existing
+    # latin_frac would otherwise duplicate in the final projection
+    with pytest.raises(SchemaError, match="script_profile"):
+        text.script_profile(docs.withColumn("latin_frac", F.lit(0.0)))

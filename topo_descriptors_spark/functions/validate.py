@@ -108,3 +108,20 @@ def check_table(
             problems.append(f"unexpected columns {extra}")
     if problems:
         raise SchemaError(f"{name}: " + "; ".join(problems))
+
+
+def reserve_cols(df: DataFrame, op: str, *names: str) -> None:
+    """Assert none of the operator's internal temp-column ``names`` is
+    already present in ``df`` — an input that carries e.g. ``_bkt``
+    would otherwise be silently clobbered by ``withColumn`` and dropped
+    from the output (VERDICT r4).  Mirrors ``decayed_features``' inline
+    check; factored here so every temp-column operator applies it
+    uniformly.  Driver-side only: inspects ``df.columns``.
+    """
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise SchemaError(
+            f"{op}: input already contains reserved internal column"
+            f"{'s' if len(clash) > 1 else ''} {clash} — rename before "
+            "calling (the operator uses these as scratch space)"
+        )

@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.validate import require_cols
+from ..functions.validate import require_cols, reserve_cols
 
 __all__ = [
     "target_encode",
@@ -745,6 +745,7 @@ def resample_ohlc(
     from topo_descriptors_spark.functions.cols import axis_seconds
 
     require_cols(df, "resample_ohlc", **{value: "numeric", entity: "atomic"})
+    reserve_cols(df, "resample_ohlc", "_bkt", "_open", "_close")
     bs = int(bucket_seconds)
     if bs <= 0:
         raise ValueError("bucket_seconds must be positive")

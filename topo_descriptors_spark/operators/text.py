@@ -18,7 +18,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from topo_descriptors_spark.functions.validate import require_cols
+from topo_descriptors_spark.functions.validate import require_cols, reserve_cols
 
 # portable 60-bit hash: identical in Spark and DuckDB (see module docstring).
 # {col} may be any SQL expression evaluating to a string.
@@ -674,6 +674,7 @@ def bm25_score(
     word) index because its term set is open.
     """
     require_cols(df, "bm25_score", **{id_col: "atomic", text: "string"})
+    reserve_cols(df, "bm25_score", "_bw", "_lw", "_dl", "_n", "_avgdl")
     terms = [t.lower() for t in query_terms]
     if not terms or len(set(terms)) != len(terms):
         raise ValueError("query_terms must be non-empty and distinct")
@@ -743,6 +744,7 @@ def gopher_rules(
     scan and the filter pushes into the next stage for free.
     """
     require_cols(df, "gopher_rules", **{id_col: "atomic", text: "string"})
+    reserve_cols(df, "gopher_rules", "_gw", "_lines")
     d = with_words(df, text, "_gw")
     d = d.withColumn("_lines", F.filter(
         F.split(F.col(text), "\n"), lambda ln: F.trim(ln) != ""
@@ -832,6 +834,7 @@ def token_bigram_topk(
     TakeOrderedAndProject, never a global sort.
     """
     require_cols(df, "token_bigram_topk", **{text: "string"})
+    reserve_cols(df, "token_bigram_topk", "_toks", "_bg")
     # materialize the token array ONCE: element_at inside the pair lambda
     # re-evaluates its receiver expression, so an inline tokens_sql would
     # recompute the md5 tokenization per element — O(len²) hashing
@@ -886,6 +889,13 @@ def script_profile(
     denominator; a doc with no script characters is 'und'.
     """
     require_cols(df, "script_profile", **{id_col: "atomic", text: "string"})
+    # also reserve the OUTPUT names: the final select appends them to
+    # *df.columns, so a pre-existing latin_frac would duplicate
+    reserve_cols(
+        df, "script_profile", "_n_script",
+        *[f"_n_{n}" for n in SCRIPT_RANGES],
+        *[f"{n}_frac" for n in SCRIPT_RANGES], "dominant_script",
+    )
     rd = int(round_digits)
     d = df
     for name, rng in SCRIPT_RANGES.items():
