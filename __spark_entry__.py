@@ -1645,6 +1645,29 @@ def q_asof_nearest(spark, sf_dir):
     )
 
 
+def q_asof_nearest_strict(spark, sf_dir):
+    """Nearest as-of with strict=True: the equal-timestamp purchase is
+    excluded from BOTH sides and the match falls through to the next
+    closest row — completes the pandas.merge_asof surface
+    (allow_exact_matches=False).  One shuffle, two sorts (the one as-of
+    shape whose two frames need opposite equal-ts secondary sorts)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("q_id"), "user_id", F.col("ts").alias("q_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("nearest_purchase")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", q_ts="q_ts", s_ts="ts",
+        direction="nearest", strict=True,
+    )
+    return out.select(
+        "q_id", "user_id", "q_ts", "matched_ts",
+        _r("nearest_purchase").alias("nearest_purchase"),
+    )
+
+
 def q_ohlc(spark, sf_dir):
     """Daily OHLC bars per user — irregular→regular downsampling with a
     deterministic event_id tie-break; one shuffle (window + reused-
@@ -1784,91 +1807,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates each round (VERDICT r3 #1 / ADVICE r3): queries go first
     # when (a) they had no official row last round, or (b) their query
     # or oracle changed this round; queries with a fresh green row from
-    # last round and no change this round yield their slot.  Round 4
-    # window: the 16 rows absent from CORRECTNESS_r03.json, then the
-    # new/changed rows (w_dedup_stream new; t_unigram_logprob capped
-    # vocab; t_line_dedup broadcast stop-line plan; j_interval guarded;
-    # d_components_star + the d_* pair rows gate-halved; s_* zero-norm
-    # guarded), then unchanged cheap rows up to 50.  The 17 past the
-    # window all have green rows in CORRECTNESS_r03.json.
+    # last round and no change this round yield their slot.  Round 5
+    # window (VERDICT r4 #1): the 10 round-4 additions that never got
+    # an official row, plus the new j_asof_nearest_strict, then the 8
+    # rows that changed in r4 but kept their r3 rows, then the oldest
+    # unchanged r3 rows up to 50.  11 r3 rows spill to r6 (2 rounds
+    # stale — same precedent as r2+judge); the 50 r4-recorded rows all
+    # have fresh green rows in CORRECTNESS_r04.json.  The FULL contract
+    # is additionally self-recorded every round in
+    # CORRECTNESS_FULL_r{N}.json (scripts/selfcheck.py --emit).
     return {
-        # -- (a) no official row in r3 (recorded r2 + judge re-check) --
-        "w_packed_features": q_packed_features,
-        "d_exact_groups": q_exact_dedup_groups,
-        "d_minhash_sig": q_minhash_sig,
-        "d_minhash_pairs": q_minhash_pairs,
-        "d_ngram_jaccard": q_ngram_jaccard,
-        "d_simhash": q_simhash,
-        "d_simhash_pairs": q_simhash_pairs,
-        "d_dedup_components": q_dedup_components,
-        "s_near_dup_lsh": q_near_dup_lsh,
-        "j_asof_fused": q_asof_fused,
-        "g_tpi_2d": q_tpi_2d,
-        "g_sx_2d": q_sx_2d,
-        "g_valley_2d": q_valley_2d,
-        "g_gaussian_2d": q_gaussian_2d,
-        "g_std_2d": q_std_2d,
-        "g_gradient_2d": q_gradient_2d,
-        # -- (b) new or changed in round 4 --
-        "w_dedup_stream": q_dedup_stream,
-        "w_decayed": q_decayed,
-        "t_tfidf": q_tfidf,
-        "a_pivot": q_pivot,
-        "a_cube": q_cube,
-        "d_keep_best": q_keep_best,
-        "p_chunk": q_chunk,
-        "p_token_budget": q_token_budget,
-        "w_decayed_stream": q_decayed_stream,
-        "e_target_encode": q_target_encode,
-        "e_count_encode": q_count_encode,
-        "e_feature_hash": q_feature_hash,
-        "t_hash_vectorize": q_hash_vectorize,
-        "w_rolling_quantiles": q_rolling_quantiles,
-        "k_kmv_distinct": q_kmv_distinct,
-        "a_quantile_bin": q_quantile_bin,
-        "a_corr_matrix": q_corr_matrix,
-        "d_bloom_prune": q_bloom_prune,
-        "a_funnel": q_funnel,
-        "p_stratified_split": q_stratified_split,
-        "a_robust_scale": q_robust_scale,
-        "a_entropy": q_entropy,
-        "t_bigram_logprob": q_bigram_logprob,
-        "p_weighted_sample": q_weighted_sample,
-        "d_domain_cap": q_domain_cap,
-        "d_fuzzy_ed1": q_fuzzy_ed1,
-        "a_impute": q_impute,
-        # -- brand-new this round (rows 44-50 of the window) --
-        "j_asof_forward": q_asof_forward,
-        "t_bm25": q_bm25,
-        "t_gopher": q_gopher,
-        "t_token_bigrams": q_token_bigrams,
-        "d_token_prefix_dup": q_token_prefix_dup,
-        "a_heavy_hitters": q_heavy_hitters,
-        "w_cum_distinct": q_cum_distinct,
-        # -- past the 50-row window: all green in CORRECTNESS_r03.json.
-        # The first seven changed this round (scale-safe plan rewrites /
-        # zero-norm guards / gate-input halving) but keep their r3 rows;
-        # their new behavior is pinned by pytest and re-verified via
-        # scripts/selfcheck.py at sf0.01 (see COVERAGE.md) — they rotate
-        # back into the official window next round. --
-        # ROUND-5 CURATION NOTE: 60 queries now sit past the window (10
-        # never-officially-recorded round-4 additions + 50 with r3
-        # rows).  In r5, order them: the 10 unrecorded FIRST, then the
-        # r3-recorded rows oldest/changed-first; 10 of the r3 rows spill
-        # to r6 (2 rounds stale — the same precedent as r2+judge).
-        # (new late in round 4 — verified by selfcheck + pytest this
-        # round at sf0.001/sf0.01/sf0.1, official row when they rotate
-        # to the front in r5)
+        # -- (a) no official row yet (added late in r4 / new in r5) --
         "a_ohlc": q_ohlc,
         "k_cms_counts": q_cms_counts,
         "p_temporal_split": q_temporal_split,
         "w_window_counts_stream": q_window_counts_stream,
         "j_asof_nearest": q_asof_nearest,
+        "j_asof_nearest_strict": q_asof_nearest_strict,  # new r5
         "s_cosine_topk_join": q_cosine_topk_join,
         "w_enrich_stream": q_enrich_stream,
         "a_salted_agg": q_salted_agg,
         "t_script_profile": q_script_profile,
         "t_dataset_card": q_dataset_card,
+        # -- (b) last official row is r3 AND the operator changed in r4
+        # (plan rewrites / guards; behavior pinned by pytest since) --
         "t_unigram_logprob": q_unigram_logprob,
         "t_line_dedup": q_line_dedup,
         "j_interval": q_interval_join,
@@ -1877,7 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_topk": q_ann_topk,
         "s_ivf_topk": q_ivf_topk,
         "s_near_dup": q_near_dup,
-        # -- unchanged, rotating through the remaining window slots --
+        # -- oldest unchanged r3 rows, filling the window to 50 --
         "w_tpi_multiscale": q_tpi_multiscale,
         "w_rolling_std": q_rolling_std,
         "w_gaussian_ma": q_gaussian_ma,
@@ -1909,6 +1871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_redact": q_pii_redact,
         "d_decontaminate": q_decontaminate,
         "p_seeded_shuffle": q_seeded_shuffle,
+        # ---- 50-row window boundary ----
+        # ROUND-6 CURATION NOTE: these 11 r3-recorded rows spilled the
+        # r5 window and are now 2 rounds stale — they go FIRST in r6:
         "t_vocab_topk": q_vocab_topk,
         "s_quantize": q_quantize,
         "m_media_features": q_media_features,
@@ -1920,6 +1885,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_bucketed": q_asof_bucketed,
         "j_asof_tolerance": q_asof_tolerance,
         "a_quantile": q_quantile,
+        # -- fresh green rows in CORRECTNESS_r04.json --
+        "w_packed_features": q_packed_features,
+        "d_exact_groups": q_exact_dedup_groups,
+        "d_minhash_sig": q_minhash_sig,
+        "d_minhash_pairs": q_minhash_pairs,
+        "d_ngram_jaccard": q_ngram_jaccard,
+        "d_simhash": q_simhash,
+        "d_simhash_pairs": q_simhash_pairs,
+        "d_dedup_components": q_dedup_components,
+        "s_near_dup_lsh": q_near_dup_lsh,
+        "j_asof_fused": q_asof_fused,
+        "g_tpi_2d": q_tpi_2d,
+        "g_sx_2d": q_sx_2d,
+        "g_valley_2d": q_valley_2d,
+        "g_gaussian_2d": q_gaussian_2d,
+        "g_std_2d": q_std_2d,
+        "g_gradient_2d": q_gradient_2d,
+        "w_dedup_stream": q_dedup_stream,
+        "w_decayed": q_decayed,
+        "t_tfidf": q_tfidf,
+        "a_pivot": q_pivot,
+        "a_cube": q_cube,
+        "d_keep_best": q_keep_best,
+        "p_chunk": q_chunk,
+        "p_token_budget": q_token_budget,
+        "w_decayed_stream": q_decayed_stream,
+        "e_target_encode": q_target_encode,
+        "e_count_encode": q_count_encode,
+        "e_feature_hash": q_feature_hash,
+        "t_hash_vectorize": q_hash_vectorize,
+        "w_rolling_quantiles": q_rolling_quantiles,
+        "k_kmv_distinct": q_kmv_distinct,
+        "a_quantile_bin": q_quantile_bin,
+        "a_corr_matrix": q_corr_matrix,
+        "d_bloom_prune": q_bloom_prune,
+        "a_funnel": q_funnel,
+        "p_stratified_split": q_stratified_split,
+        "a_robust_scale": q_robust_scale,
+        "a_entropy": q_entropy,
+        "t_bigram_logprob": q_bigram_logprob,
+        "p_weighted_sample": q_weighted_sample,
+        "d_domain_cap": q_domain_cap,
+        "d_fuzzy_ed1": q_fuzzy_ed1,
+        "a_impute": q_impute,
+        "j_asof_forward": q_asof_forward,
+        "t_bm25": q_bm25,
+        "t_gopher": q_gopher,
+        "t_token_bigrams": q_token_bigrams,
+        "d_token_prefix_dup": q_token_prefix_dup,
+        "a_heavy_hitters": q_heavy_hitters,
+        "w_cum_distinct": q_cum_distinct,
     }
 
 
@@ -3933,6 +3949,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.ts, p.value
               FROM (SELECT * FROM events WHERE event_type = 'purchase') p
               WHERE p.user_id = c.user_id
+              ORDER BY abs(epoch(c.ts) - epoch(p.ts)), p.ts
+              LIMIT 1
+            ) s ON true
+        """,
+        "j_asof_nearest_strict": """
+            SELECT c.event_id AS q_id, c.user_id, c.ts AS q_ts,
+                   s.ts AS matched_ts, round(s.value, 6) AS nearest_purchase
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN LATERAL (
+              SELECT p.ts, p.value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              WHERE p.user_id = c.user_id AND p.ts <> c.ts
               ORDER BY abs(epoch(c.ts) - epoch(p.ts)), p.ts
               LIMIT 1
             ) s ON true

@@ -241,6 +241,13 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "s_cosine_topk_join",
         "t_script_profile",
         "a_ohlc",
+        # previously unmeasured round-4 rows (VERDICT r4 #7): CMS
+        # sketch build, per-entity temporal split, one-pass corpus card
+        "k_cms_counts",
+        "p_temporal_split",
+        "t_dataset_card",
+        # new r5: strict-nearest as-of (the two-sort as-of shape)
+        "j_asof_nearest_strict",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate

@@ -5,6 +5,13 @@ DuckDB over the same parquet tables, then compares row count, schema
 (column names) and order-insensitive values.  Usage:
 
     python scripts/selfcheck.py [sf_dir] [query ...]
+    python scripts/selfcheck.py --emit-correctness OUT.json [sf_dir]
+
+``--emit-correctness`` writes every query's result in the driver's
+CORRECTNESS JSON shape (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err) so the FULL contract has a
+machine-checkable record each round even though the driver's official
+file stops at 50 rows (VERDICT r4 #3).
 """
 
 from __future__ import annotations
@@ -71,8 +78,14 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 def main():
     args = sys.argv[1:]
+    emit_path = None
+    if "--emit-correctness" in args:
+        i = args.index("--emit-correctness")
+        emit_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
+    record: dict[str, dict] = {}
 
     spark = get_spark("selfcheck", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,6 +101,11 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}",
+            }
             continue
         t1 = time.monotonic()
         if name not in oracles:
@@ -95,14 +113,32 @@ def main():
             print(f"{status:9s} {name}: {len(spark_pd)} rows ({t1-t0:.1f}s)")
             if len(spark_pd) == 0:
                 print(f"WARN {name}: zero rows")
+            record[name] = {
+                "rows_match": len(spark_pd) > 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spark_pd),
+                "oracle_rows": None, "err": None,
+            }
             continue
         try:
             duck_pd = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(spark_pd),
+                "oracle_rows": None, "err": f"duckdb: {e}",
+            }
             continue
         problems = compare(name, spark_pd, duck_pd)
+        record[name] = {
+            "rows_match": not any(p.startswith("rows") for p in problems),
+            "schema_match": not any(p.startswith("schema") for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pd),
+            "oracle_rows": len(duck_pd),
+            "err": None,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
@@ -116,6 +152,12 @@ def main():
     except Exception as e:
         failures += 1
         print(f"FAIL entry(): {e}")
+    if emit_path:
+        import json
+
+        with open(emit_path, "w") as fh:
+            json.dump(record, fh, indent=2)
+        print(f"wrote {emit_path} ({len(record)} queries)")
     print("RESULT:", "PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 

@@ -543,8 +543,111 @@ def test_asof_direction_validation(spark, data):
     state, queries = data
     with pytest.raises(ValueError, match="direction"):
         asof_join(queries, state, on="entity_id", direction="sideways")
-    with pytest.raises(NotImplementedError):
-        asof_join(
-            queries, state.select("entity_id", "ts", "value"), on="entity_id",
-            direction="nearest", strict=True,
-        )
+
+
+def test_asof_nearest_strict_excludes_equal_ts(spark):
+    """strict nearest skips the equal-timestamp state row on BOTH
+    sides and falls through to the next-nearest row (not to NULL)."""
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    q = spark.createDataFrame(
+        [(1, T(20)), (2, T(20)), (3, T(20))], "entity_id int, q_ts timestamp"
+    )
+    s = spark.createDataFrame(
+        [
+            # entity 1: exact hit shadows an older row -> strict takes the older
+            (1, T(20), 99.0), (1, T(14), 14.0),
+            # entity 2: exact hit shadows a CLOSER forward row
+            (2, T(20), 99.0), (2, T(23), 23.0), (2, T(10), 10.0),
+            # entity 3: only an exact hit -> strict matches nothing
+            (3, T(20), 99.0),
+        ],
+        "entity_id int, ts timestamp, value double",
+    )
+    out = {r.entity_id: r for r in asof_join(
+        q, s, on="entity_id", direction="nearest", strict=True
+    ).collect()}
+    assert out[1].value == 14.0
+    assert out[2].value == 23.0
+    assert out[3].value is None and out[3].matched_ts is None
+    # and non-strict takes every exact hit
+    lax = {r.entity_id: r.value for r in asof_join(
+        q, s, on="entity_id", direction="nearest"
+    ).collect()}
+    assert lax == {1: 99.0, 2: 99.0, 3: 99.0}
+
+
+def test_asof_nearest_strict_tie_prefers_backward(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    q = spark.createDataFrame([(1, T(20))], "entity_id int, q_ts timestamp")
+    s = spark.createDataFrame(
+        [(1, T(20), 99.0), (1, T(17), 17.0), (1, T(23), 23.0)],
+        "entity_id int, ts timestamp, value double",
+    )
+    row = asof_join(
+        q, s, on="entity_id", direction="nearest", strict=True
+    ).collect()[0]
+    assert row.value == 17.0  # equidistant after exclusion -> backward
+
+
+def test_asof_nearest_strict_vs_pandas(data):
+    """pandas.merge_asof(direction='nearest', allow_exact_matches=False)
+    oracle, excluding exact mid-point ties (engine documents backward
+    preference; pandas' tie pick differs) — same protocol as the
+    non-strict oracle test above."""
+    state, queries = data
+    sv = state.select("entity_id", "ts", "value")
+    out = asof_join(
+        queries, sv, on="entity_id", direction="nearest", strict=True
+    ).toPandas()
+    sp = sv.toPandas().sort_values("ts").reset_index(drop=True)
+    qp = queries.toPandas().sort_values("q_ts").reset_index(drop=True)
+    oracle = pd.merge_asof(
+        qp, sp, left_on="q_ts", right_on="ts", by="entity_id",
+        direction="nearest", allow_exact_matches=False,
+    ).rename(columns={"ts": "matched_ts"})
+    m = out.sort_values("q_id").reset_index(drop=True)
+    o = oracle.sort_values("q_id").reset_index(drop=True)
+    ties = set()
+    for i, r in o.iterrows():
+        if pd.isna(r["matched_ts"]):
+            continue
+        g = abs((r["q_ts"] - r["matched_ts"]).total_seconds())
+        ent = sp[sp.entity_id == r.entity_id]
+        mirrored = r["q_ts"] + (r["q_ts"] - r["matched_ts"])
+        if (ent["ts"] == mirrored).any() and g > 0:
+            ties.add(i)
+    keep = [i for i in range(len(o)) if i not in ties]
+    assert (
+        m.loc[keep, "matched_ts"].reset_index(drop=True).equals(
+            o.loc[keep, "matched_ts"].reset_index(drop=True))
+    )
+    assert np.allclose(
+        m.loc[keep, "value"].to_numpy(float),
+        o.loc[keep, "value"].to_numpy(float),
+        equal_nan=True,
+    )
+
+
+def test_asof_nearest_strict_one_exchange_two_sorts(spark):
+    """nearest+strict is the one as-of shape needing opposite equal-ts
+    secondary sorts: the plan must still shuffle ONCE (both windows
+    share the partitioning) but carries two Sort nodes."""
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    q = spark.createDataFrame([(1, T(20))], "entity_id int, q_ts timestamp")
+    s = spark.createDataFrame(
+        [(1, T(19), 1.0)], "entity_id int, ts timestamp, value double"
+    )
+    plan = (
+        asof_join(q, s, on="entity_id", direction="nearest", strict=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Window") == 2
+    assert plan.count("+- Sort") == 2

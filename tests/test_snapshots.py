@@ -316,3 +316,27 @@ def test_rewrite_data_files_with_zorder(spark, tmp_path):
     back = read_snapshot(spark, t)
     assert sorted(back.columns) == ["x", "y"]  # no helper-column leakage
     assert back.count() == 5000
+
+
+def test_rewrite_data_files_after_commit_dirs_unknown_rowcount(spark, tmp_path):
+    """ADVICE r4: a CURRENT version published via commit_dirs with
+    row_count=None must compact cleanly — unknown source count is not a
+    mismatch; the safety check falls back to a pre-rewrite count."""
+    import os
+
+    from topo_descriptors_spark.plans import checkpoint as C
+    from topo_descriptors_spark.sources.snapshots import rewrite_data_files
+
+    t = str(tmp_path / "t_none_rc")
+
+    def fn(unit):
+        return spark.range(25).select(
+            F.col("id"), F.lit(unit).alias("unit_name")
+        )
+
+    C.run_partitioned(spark, ["u0", "u1"], fn, t, run_id="r")
+    S.commit_dirs(t, ["part=u0", "part=u1"], fn("u0").schema)  # row_count=None
+    assert S.read_manifest(t)["row_count"] is None
+    report = rewrite_data_files(spark, t, target_file_bytes=1 << 30)
+    assert report["rows"] == 50
+    assert S.read_snapshot(spark, t).count() == 50

@@ -136,7 +136,9 @@ def asof_join(
       after this click"), where looking ahead is the point.
     * ``direction="nearest"``: whichever of the two is closer in time;
       exact ties prefer the backward match (documented, deterministic).
-      ``strict`` excludes the equal-timestamp match from both sides.
+      ``strict`` excludes the equal-timestamp match from both sides
+      (ties between a strictly-earlier and strictly-later row at the
+      same absolute gap still prefer backward).
 
     The tie rule at equal timestamps is enforced by the secondary sort
     key: the state row sorts on the visible side of the query row iff
@@ -148,7 +150,9 @@ def asof_join(
     Physics is direction-independent: ONE shuffle of (queries+state) on
     the join keys, one sort; nearest adds a second window function over
     the SAME sort order (single Window exchange/sort, two frames), not a
-    second shuffle.
+    second shuffle.  Sole exception: ``nearest + strict`` needs opposite
+    equal-ts secondary sorts for its two frames — one exchange, two
+    sorts (see inline comment).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -186,20 +190,29 @@ def asof_join(
         merged = back_match(merged, "_match")
     elif direction == "forward":
         merged = fwd_match(merged, "_match")
-    else:  # nearest: BOTH frames use the backward sort (ts, state-first)
-        # so Spark plans ONE exchange + ONE sort with two frames.  The
-        # forward frame then misses a state row at exactly q_ts (it sorts
-        # before the query row) — harmless: the backward frame holds that
-        # row with gap 0, and ties prefer backward, so the nearest result
-        # is identical to the two-sort formulation.
-        if strict:
-            raise NotImplementedError(
-                "direction='nearest' with strict=True is not supported; "
-                "pre-filter equal-timestamp state rows instead"
+    else:  # nearest
+        if not strict:
+            # BOTH frames use the backward sort (ts, state-first) so
+            # Spark plans ONE exchange + ONE sort with two frames.  The
+            # forward frame then misses a state row at exactly q_ts (it
+            # sorts before the query row) — harmless: the backward frame
+            # holds that row with gap 0, and ties prefer backward, so
+            # the nearest result is identical to the two-sort
+            # formulation.
+            merged = fwd_match(
+                back_match(merged, "_back"), "_fwd", side_order=back_side
             )
-        merged = fwd_match(
-            back_match(merged, "_back"), "_fwd", side_order=back_side
-        )
+        else:
+            # strict excludes the equal-timestamp match from BOTH
+            # sides, and the two exclusions need OPPOSITE secondary
+            # sorts (backward-strict: query before equal-ts state, so
+            # the preceding frame skips it; forward-strict: state
+            # before query, so the following frame skips it).  One sort
+            # order cannot express both, so this is the one as-of shape
+            # that plans ONE exchange + TWO sorts (still a single
+            # shuffle: both windows share the partitioning).
+            # back_side/fwd_side are already strict-flipped above.
+            merged = fwd_match(back_match(merged, "_back"), "_fwd")
         gap_b = axis_seconds(merged, "_ts") - axis_seconds(merged, "_back.matched_ts")
         gap_f = axis_seconds(merged, "_fwd.matched_ts") - axis_seconds(merged, "_ts")
         merged = merged.withColumn(
