@@ -147,3 +147,28 @@ def test_reserved_temp_columns_raise_not_clobber(df, spark):
     # latin_frac would otherwise duplicate in the final projection
     with pytest.raises(SchemaError, match="script_profile"):
         text.script_profile(docs.withColumn("latin_frac", F.lit(0.0)))
+
+
+def test_reserved_temp_columns_full_sweep(df, spark):
+    """Uniform coverage: every passthrough operator that stages temp
+    columns on its input rejects a colliding input column."""
+    from topo_descriptors_spark.operators import features as FE
+
+    docs = df.select(F.col("entity_id").cast("string").alias("doc_id"), "text")
+    cases = [
+        ("count_encode", lambda d: FE.count_encode(d, category="text"), "_ck"),
+        ("feature_hash",
+         lambda d: FE.feature_hash(d, id_col="doc_id", cols=["text"]), "_fh"),
+        ("hash_vectorize_text",
+         lambda d: FE.hash_vectorize_text(d, id_col="doc_id"), "_tk"),
+        ("impute", lambda d: FE.impute(d.withColumn("v", F.lit(1.0)),
+                                       value="v"), "_fill"),
+        ("lang_id", text.lang_id, "_lw"),
+        ("quality_score", text.quality_score, "_qw"),
+        ("repetition_stats", text.repetition_stats, "_rw"),
+        ("redact_pii", text.redact_pii, "_t1"),
+        ("dedup_lines", lambda d: text.dedup_lines(d), "_larr"),
+    ]
+    for name, call, col in cases:
+        with pytest.raises(SchemaError, match=name):
+            call(docs.withColumn(col, F.lit(0)))

@@ -135,6 +135,7 @@ def count_encode(
     aggregate, broadcast join back, zero corpus shuffles.
     """
     require_cols(df, "count_encode", **{category: "atomic"})
+    reserve_cols(df, "count_encode", "_ck")
     cnt, lg, rare, isnull = (
         f"{out_prefix}_count", f"{out_prefix}_log", f"{out_prefix}_rare",
         f"{out_prefix}_null",
@@ -187,6 +188,7 @@ def feature_hash(
     gate).
     """
     require_cols(df, "feature_hash", **{id_col: "atomic"})
+    reserve_cols(df, "feature_hash", "_fh", "_fi")
     require_cols(df, "feature_hash", **{c: "atomic" for c in cols})
     n = int(n_features)
     if n <= 0:
@@ -252,6 +254,7 @@ def hash_vectorize_text(
     the hashing trick at 100 TB.
     """
     require_cols(df, "hash_vectorize_text", **{id_col: "atomic", text: "string"})
+    reserve_cols(df, "hash_vectorize_text", "_tk", "_ng", "_hb")
     n = int(n_features)
     g = int(ngram)
     if n <= 0 or g <= 0:
@@ -652,6 +655,7 @@ def impute(
     shuffles.
     """
     require_cols(df, "impute", **{value: "numeric"})
+    reserve_cols(df, "impute", "_fill", "_gfill")
     if group_by is not None:
         require_cols(df, "impute", **{group_by: "atomic"})
     if strategy not in ("median", "mean"):

@@ -139,6 +139,7 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFr
     """Stopword-count language heuristic; deterministic argmax (a later
     language replaces only on strictly greater score, so ties keep the
     earlier language); 'und' (undetermined) when nothing matches."""
+    reserve_cols(df, "lang_id", "_lw")
     d = with_words(df, text, "_lw")
     d = d.withColumn("_lw", F.transform(F.col("_lw"), lambda w: F.lower(w)))
     lw = F.col("_lw")
@@ -160,6 +161,7 @@ def quality_score(df: DataFrame, text: str = "text", out: str = "quality") -> Da
     """Deterministic quality heuristics: token count, mean word length,
     stopword ratio, symbol ratio, and a composite score in [0, 1]
     (Gopher-style pretraining-corpus filter rules)."""
+    reserve_cols(df, "quality_score", "_qw", "_nc")
     d = with_words(df, text, "_qw")
     w = F.col("_qw")
     n_tok = F.size(w)
@@ -211,6 +213,7 @@ def repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     filter rule (drop when ratios are high) stays with the caller.
     """
     require_cols(df, "repetition_stats", **{text: "string"})
+    reserve_cols(df, "repetition_stats", "_rw", "_rb")
     d = with_words(df, text, "_rw")
     w = F.col("_rw")
     n = F.size(w)
@@ -257,6 +260,7 @@ def redact_pii(
     redacted before phones so digits inside an email never double-count.
     """
     require_cols(df, "redact_pii", **{text: "string"})
+    reserve_cols(df, "redact_pii", "_t1")
     n_emails = F.size(F.regexp_extract_all(F.col(text), F.lit(PII_EMAIL), F.lit(0)))
     step1 = F.regexp_replace(F.col(text), PII_EMAIL, "<EMAIL>")
     d = df.withColumn("n_emails", n_emails.cast("long")).withColumn("_t1", step1)
@@ -494,6 +498,7 @@ def dedup_lines(
     ``''``.  All other input columns pass through unchanged.
     """
     require_cols(df, "dedup_lines", **{id_col: "atomic", text: "string"})
+    reserve_cols(df, "dedup_lines", "_larr", "_stop", "_stop_n", "_kept")
     for c in ("_larr", "_stop", "_stop_n", "_kept"):
         if c in df.columns:
             raise ValueError(f"dedup_lines: reserved column name {c!r} in input")
