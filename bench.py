@@ -471,6 +471,15 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
         "flagship_docs": n_docs,
     }
     _write_baseline_md(report, results)
+    # full sidecar: per-config medians + every raw run, so a later
+    # header edit (or audit) never depends on the one-line report alone
+    with open("BENCH/scaling_last_full.json", "w") as fh:
+        json.dump({"report": report, "per_config": {
+            c: {"queries": results[c]["queries"],
+                "sequences_per_sec": results[c]["sequences_per_sec"],
+                "sequences_per_sec_packed": results[c]["sequences_per_sec_packed"],
+                "all_runs_sec": results[c]["all_runs_sec"]}
+            for c in results}}, fh, indent=2)
     return report
 
 
