@@ -1717,6 +1717,19 @@ def q_cosine_topk_join(spark, sf_dir):
     )
 
 
+def q_cosine_topk_join_blocked(spark, sf_dir):
+    """Arrow/BLAS twin of q_cosine_topk_join (one matmul per corpus
+    batch + per-batch exact top-k partials; ranking window sees only
+    batches x n_query x k rows).  Value-identical by construction —
+    shares the s_cosine_topk_join oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return similarity.cosine_topk_join_blocked(qs, corpus, k=5).select(
+        "id_q", "id_c", "rank", F.round("cosine", _R).alias("cosine")
+    )
+
+
 def q_enrich_stream(spark, sf_dir):
     """Stream × static broadcast enrichment through the gate: the events
     parquet as a file stream, each event joined to a batch-computed
@@ -1825,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_nearest": q_asof_nearest,
         "j_asof_nearest_strict": q_asof_nearest_strict,  # new r5
         "s_cosine_topk_join": q_cosine_topk_join,
+        "s_cosine_topk_join_blocked": q_cosine_topk_join_blocked,  # new r5
         "w_enrich_stream": q_enrich_stream,
         "a_salted_agg": q_salted_agg,
         "t_script_profile": q_script_profile,
@@ -1870,10 +1884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rank_ops": q_rank_ops,
         "t_pii_redact": q_pii_redact,
         "d_decontaminate": q_decontaminate,
-        "p_seeded_shuffle": q_seeded_shuffle,
         # ---- 50-row window boundary ----
-        # ROUND-6 CURATION NOTE: these 11 r3-recorded rows spilled the
+        # ROUND-6 CURATION NOTE: these 12 r3-recorded rows spilled the
         # r5 window and are now 2 rounds stale — they go FIRST in r6:
+        "p_seeded_shuffle": q_seeded_shuffle,
         "t_vocab_topk": q_vocab_topk,
         "s_quantize": q_quantize,
         "m_media_features": q_media_features,
@@ -4007,4 +4021,5 @@ def oracle_sql() -> dict[str, str]:
     # value-identical to the expression/plain forms
     oracles["w_gaussian_arrow"] = oracles["w_gaussian_ma"]
     oracles["j_asof_bucketed"] = oracles["j_asof_events"]
+    oracles["s_cosine_topk_join_blocked"] = oracles["s_cosine_topk_join"]
     return oracles

@@ -570,3 +570,85 @@ def test_dataset_card_numbers(spark):
     assert r.empty_frac == 0.25
     assert r.dup_frac == 0.25  # 3 distinct contents over 4 docs
     assert r.n_sources == 2
+
+
+# ------------------------------------------ Arrow/BLAS retrieval join (r5)
+
+
+def test_cosine_topk_join_blocked_equals_base(spark):
+    """The Arrow/BLAS form must be row-identical to the zip_with form on
+    data with duplicate vectors (rounded-cosine ties) and a zero-norm
+    row on each side."""
+    import numpy as np
+
+    from topo_descriptors_spark.operators.similarity import (
+        cosine_topk_join,
+        cosine_topk_join_blocked,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(40)]
+    rows[7] = (7, rows[12][1])          # exact duplicate -> cosine tie
+    rows[3] = (3, [0.0] * 6)            # zero-norm corpus row
+    rows[30] = (30, [0.0] * 6)          # zero-norm query row
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    qs = df.where("vec_id % 5 = 0")
+    corpus = df.where("vec_id % 5 != 0").repartition(4)  # multi-batch
+
+    base = cosine_topk_join(qs, corpus, k=4).toPandas()
+    blocked = cosine_topk_join_blocked(qs, corpus, k=4).toPandas()
+    key = ["id_q", "rank"]
+    b = base.sort_values(key).reset_index(drop=True)
+    a = blocked.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns) == ["id_q", "id_c", "cosine", "rank"]
+    assert a[["id_q", "id_c", "rank"]].equals(b[["id_q", "id_c", "rank"]])
+    assert np.allclose(a.cosine.to_numpy(), b.cosine.to_numpy())
+    assert 30 not in set(a.id_q) and 3 not in set(a.id_c)
+
+
+def test_cosine_topk_join_blocked_guards(spark):
+    from topo_descriptors_spark.operators.similarity import (
+        cosine_topk_join,
+        cosine_topk_join_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_join_blocked(df, df, max_query_rows=5)
+    dup = df.union(df.limit(1))
+    with pytest.raises(ValueError, match="distinct"):
+        cosine_topk_join_blocked(dup, df)
+    with pytest.raises(ValueError, match="distinct"):
+        cosine_topk_join(dup, df)
+    # dimension mismatch raises inside the kernel (guard, not truncate)
+    q3 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        cosine_topk_join_blocked(q3, df).collect()
+
+
+def test_cosine_topk_join_blocked_no_corpus_shuffle(spark):
+    """The corpus must reach the scoring kernel without an Exchange:
+    the only shuffle in the plan is the final per-query ranking window
+    over the k-bounded partials."""
+    from topo_descriptors_spark.operators.similarity import (
+        cosine_topk_join_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id int, embedding array<double>",
+    )
+    plan = (
+        cosine_topk_join_blocked(df.where("vec_id < 3"), df.where("vec_id >= 3"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange", plan)) == 1  # ranking window only
+    before_map = plan.split("MapInPandas")[-1]  # children of the kernel
+    assert "Exchange" not in before_map

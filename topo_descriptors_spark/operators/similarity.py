@@ -593,6 +593,44 @@ def dequantize_embeddings(
     )
 
 
+def _check_retrieval_queries(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec: str,
+    max_query_rows: int | None,
+    op: str,
+) -> None:
+    """Shared entry guard for the two-table retrieval forms: schema,
+    bounded query side, and distinct query ids — all on ONE bounded
+    count job (with ``max_query_rows=None`` the caller vouches for
+    both)."""
+    require_cols(queries, f"{op}(queries)",
+                 **{id_col: "atomic", vec: "array_numeric"})
+    require_cols(corpus, f"{op}(corpus)",
+                 **{id_col: "atomic", vec: "array_numeric"})
+    if max_query_rows is None:
+        return
+    sz = queries.limit(max_query_rows + 1).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if sz["n"] > max_query_rows:
+        raise ValueError(
+            f"{op}: query side exceeds max_query_rows="
+            f"{max_query_rows} — broadcast retrieval needs a bounded "
+            "query set; use the ANN paths for corpus-sized queries, "
+            "or pass max_query_rows=None to override"
+        )
+    # guard-and-raise (engine convention): duplicate query ids would
+    # silently interleave two result sets under one id_q ranking
+    if sz["nd"] != sz["n"]:
+        raise ValueError(
+            f"{op}: query ids must be distinct "
+            f"({sz['n']} rows, {sz['nd']} distinct {id_col!r})"
+        )
+
+
 def cosine_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -620,30 +658,8 @@ def cosine_topk_join(
     excluded (cosine undefined); cosine is rounded before ranking, ties
     break on corpus id ascending.
     """
-    require_cols(queries, "cosine_topk_join(queries)",
-                 **{id_col: "atomic", vec: "array_numeric"})
-    require_cols(corpus, "cosine_topk_join(corpus)",
-                 **{id_col: "atomic", vec: "array_numeric"})
-    if max_query_rows is not None:
-        sz = queries.limit(max_query_rows + 1).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("nd"),
-        ).first()
-        if sz["n"] > max_query_rows:
-            raise ValueError(
-                f"cosine_topk_join: query side exceeds max_query_rows="
-                f"{max_query_rows} — broadcast retrieval needs a bounded "
-                "query set; use the ANN paths for corpus-sized queries, "
-                "or pass max_query_rows=None to override"
-            )
-        # guard-and-raise (engine convention): duplicate query ids would
-        # silently interleave two result sets under one id_q ranking —
-        # piggybacks on the same bounding job, no extra scan
-        if sz["nd"] != sz["n"]:
-            raise ValueError(
-                f"cosine_topk_join: query ids must be distinct "
-                f"({sz['n']} rows, {sz['nd']} distinct {id_col!r})"
-            )
+    _check_retrieval_queries(queries, corpus, id_col, vec, max_query_rows,
+                             "cosine_topk_join")
     q = with_norm(queries.select(id_col, vec), vec).where(F.col("_norm") > 0).select(
         F.col(id_col).alias("id_q"), F.col(vec).alias("vq"),
         F.col("_norm").alias("nq"),
@@ -665,3 +681,121 @@ def cosine_topk_join(
         ),
     )
     return ranked.where(F.col("rank") <= int(k))
+
+
+def cosine_topk_join_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int = 9,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Arrow/BLAS form of :func:`cosine_topk_join` — identical results
+    (same round-before-rank, same id-ascending tie-break, same zero-norm
+    exclusion; shares the driver-gate oracle), different physics:
+
+    * scoring is ONE numpy matmul per Arrow batch (``mapInPandas`` over
+      corpus partitions) instead of a per-element ``zip_with`` fold —
+      the interpreted higher-order-function path measured ~3x slower on
+      the ANN twin (:func:`ann_topk_blocked`), and dense d-dim scoring
+      is exactly the BLAS shape;
+    * each batch emits only its PER-QUERY top-k partials (exact: a
+      threshold at the k-th largest rounded cosine keeps every tie
+      candidate, then lexsort with the id tie-break), so the final
+      ranking window shuffles ``<= batches x n_query x k`` narrow rows
+      — the base form ships ``n_corpus x n_query`` triples to the same
+      window, which at 10^9+ corpus rows IS the job.  The corpus is
+      still scanned exactly once and never shuffled.
+
+    The (bounded) query side is collected driver-side and shipped in
+    the kernel closure — the broadcast-kernel pattern of SURVEY.md J3,
+    bounded by the same ``max_query_rows`` guard job as the base form.
+    Ragged or dimension-mismatched embeddings raise (guard, not
+    truncate; the zip_with base form would silently null them).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    _check_retrieval_queries(queries, corpus, id_col, vec, max_query_rows,
+                             "cosine_topk_join_blocked")
+    kk = int(k)
+    rd = int(round_digits)
+    # bounded collect (the guard above enforces the bound)
+    q_ids: list = []
+    q_rows: list = []
+    for r in queries.select(id_col, vec).collect():
+        if r[1] is None:
+            continue
+        a = np.asarray(r[1], dtype=np.float64)
+        n = float(np.linalg.norm(a))
+        if np.isfinite(n) and n > 0:
+            q_ids.append(r[0])
+            q_rows.append(a / n)
+    schema = StructType(
+        [
+            StructField("id_q", queries.schema[id_col].dataType),
+            StructField("id_c", corpus.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    scored_schema = schema
+    if not q_rows:
+        empty = corpus.sparkSession.createDataFrame([], scored_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).where(F.lit(False))
+    Q = np.stack(q_rows)
+    qid_arr = np.asarray(q_ids, dtype=object)
+    dim = Q.shape[1]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            try:
+                C = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    "cosine_topk_join_blocked: ragged embedding lengths "
+                    f"in corpus batch: {e}"
+                ) from e
+            if C.shape[1] != dim:
+                raise ValueError(
+                    "cosine_topk_join_blocked: corpus dim "
+                    f"{C.shape[1]} != query dim {dim}"
+                )
+            nrm = np.linalg.norm(C, axis=1)
+            ok = np.isfinite(nrm) & (nrm > 0)
+            if not ok.any():
+                continue
+            C = C[ok] / nrm[ok, None]
+            ids = ids[ok]
+            S = np.round(C @ Q.T, rd)  # (n_corpus_batch, n_query)
+            n = len(ids)
+            take = min(kk, n)
+            oq, oc, os_ = [], [], []
+            for j in range(S.shape[1]):
+                sj = S[:, j]
+                if n > take:
+                    thr = np.partition(sj, n - take)[n - take]
+                    cand = np.flatnonzero(sj >= thr)
+                else:
+                    cand = np.arange(n)
+                order = np.lexsort((ids[cand], -sj[cand]))[:take]
+                sel = cand[order]
+                oq.extend([qid_arr[j]] * len(sel))
+                oc.extend(ids[sel].tolist())
+                os_.extend(sj[sel].tolist())
+            yield pd.DataFrame({"id_q": oq, "id_c": oc, "cosine": os_})
+
+    scored = corpus.select(id_col, vec).mapInPandas(score, scored_schema)
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id_q").orderBy(
+                F.col("cosine").desc(), F.col("id_c").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= kk)
+
