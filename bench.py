@@ -246,8 +246,11 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "k_cms_counts",
         "p_temporal_split",
         "t_dataset_card",
-        # new r5: strict-nearest as-of (the two-sort as-of shape)
+        # new r5: strict-nearest as-of (the two-sort as-of shape), and
+        # the Arrow/BLAS retrieval join (measured 4.4x over the
+        # zip_with form at sf0.1: 3.23 -> 0.74 s interleaved medians)
         "j_asof_nearest_strict",
+        "s_cosine_topk_join_blocked",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate
