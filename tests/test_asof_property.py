@@ -149,10 +149,13 @@ def _pandas_oracle_forward(state, queries, strict):
     return sorted(out)
 
 
-def _pandas_oracle_nearest(state, queries):
+def _pandas_oracle_nearest(state, queries, strict=False):
     out = []
     for ent, q_ts, q_id in queries:
-        cands = [(ts, v) for (e, ts, v) in state if e == ent]
+        cands = [
+            (ts, v) for (e, ts, v) in state
+            if e == ent and (ts != q_ts if strict else True)
+        ]
         if not cands:
             out.append((q_id, None, None))
             continue
@@ -210,17 +213,19 @@ def test_asof_forward_matches_pandas_oracle(spark, strict, case):
     assert got == want
 
 
+@pytest.mark.parametrize("strict", [False, True])
 @settings(
     max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(case=asof_case())
-def test_asof_nearest_matches_pandas_oracle(spark, case):
+def test_asof_nearest_matches_pandas_oracle(spark, strict, case):
     state, queries = case
     state = _dedup_state(state)
-    got = _run_engine(spark, state, queries, direction="nearest")
+    got = _run_engine(spark, state, queries, direction="nearest",
+                      strict=strict)
     want = sorted(
         (q, ts, None if v is None else float(v))
-        for q, ts, v in _pandas_oracle_nearest(state, queries)
+        for q, ts, v in _pandas_oracle_nearest(state, queries, strict)
     )
     assert got == want
