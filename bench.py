@@ -251,6 +251,13 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         # zip_with form at sf0.1: 3.23 -> 0.74 s interleaved medians)
         "j_asof_nearest_strict",
         "s_cosine_topk_join_blocked",
+        # r6 (VERDICT r5 #7): the streaming twins — each timing is the
+        # full trigger(availableNow) drain wall-clock (stream start +
+        # micro-batch execution + memory-sink fill), the number a
+        # production availableNow backfill would pay per run
+        "w_sessionize_stream",
+        "w_dedup_stream",
+        "w_decayed_stream",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate
@@ -399,13 +406,25 @@ def run_grid(cores: str) -> dict:
         "sx_2d_r500": lambda: T.sx_2d(grid, (ny, nx), azimuth=0.0, radius=500.0,
                                       res_x=50.0, res_y=50.0, tile_size=256),
     }
-    out = {}
-    for name, fn in jobs.items():
-        _materialize(fn())  # steady state
-        t0 = time.monotonic()
+    # interleaved-median protocol (same rationale as bench_queries —
+    # this box drifts minute-to-minute; a single timed run folds the
+    # current phase into one job's number, r5 logged TPI 1.0–1.9 s with
+    # zero code change).  One warm-up pass, then 5 round-robin repeats,
+    # per-job medians (VERDICT r5 #4).
+    for fn in jobs.values():
         _materialize(fn())
-        dt = time.monotonic() - t0
-        out[name] = {"sec": round(dt, 2), "mpx_per_sec": round(ny * nx / dt / 1e6, 2)}
+    times: dict[str, list[float]] = {n: [] for n in jobs}
+    for _ in range(5):
+        for name, fn in jobs.items():
+            t0 = time.monotonic()
+            _materialize(fn())
+            times[name].append(time.monotonic() - t0)
+    out = {}
+    for name, ts in times.items():
+        dt = sorted(ts)[len(ts) // 2]
+        out[name] = {"sec": round(dt, 2),
+                     "mpx_per_sec": round(ny * nx / dt / 1e6, 2),
+                     "spread": [round(min(ts), 2), round(max(ts), 2)]}
     return {"metric": "2-D tile-engine throughput @ 1.33 Mpx", "grid": f"{ny}x{nx}",
             "jobs": out, "cores": cores}
 

@@ -1,0 +1,154 @@
+"""Round-6 ADVICE fixes: retrieval-guard NULL ids, blocked-kernel NULL
+corpus vectors + rounding convention, salted_agg map-typed columns, and
+cms_counts broadcast-join fallback for user-sized grids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ retrieval guard (NULL ids)
+
+
+def test_retrieval_guard_null_query_ids_dedicated_error(spark):
+    from topo_descriptors_spark.operators.similarity import cosine_topk_join
+
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="must be non-null"):
+        cosine_topk_join(qs, corpus, k=1)
+
+
+def test_retrieval_guard_duplicate_ids_still_distinct_error(spark):
+    from topo_descriptors_spark.operators.similarity import cosine_topk_join
+
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="must be distinct"):
+        cosine_topk_join(qs, corpus, k=1)
+
+
+# -------------------------------------- blocked kernel: NULL corpus vectors
+
+
+def test_blocked_excludes_null_corpus_embeddings_like_base(spark):
+    from topo_descriptors_spark.operators.similarity import (
+        cosine_topk_join,
+        cosine_topk_join_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    qs = spark.createDataFrame(
+        [(i, rng.standard_normal(4).tolist()) for i in range(3)],
+        "vec_id int, embedding array<double>",
+    )
+    corpus_rows = [(100 + i, rng.standard_normal(4).tolist()) for i in range(8)]
+    corpus_rows.insert(3, (999, None))  # NULL embedding mid-table
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id int, embedding array<double>"
+    )
+    base = sorted(
+        (r.id_q, r.rank, r.id_c)
+        for r in cosine_topk_join(qs, corpus, k=3).collect()
+    )
+    blocked = sorted(
+        (r.id_q, r.rank, r.id_c)
+        for r in cosine_topk_join_blocked(qs, corpus, k=3).collect()
+    )
+    assert base == blocked
+    assert all(idc != 999 for _, _, idc in base)
+
+
+# ------------------------------------------- blocked kernel: rounding rule
+
+
+def test_round_half_away_matches_duckdb_not_bankers():
+    from topo_descriptors_spark.operators.similarity import _round_half_away
+
+    x = np.array([0.25, -0.25, 0.35, 2.5e-1, 0.125])
+    got = _round_half_away(x, 1)
+    # half-AWAY-from-zero: 0.25 -> 0.3 (np.round's half-to-even gives 0.2)
+    assert got[0] == pytest.approx(0.3)
+    assert got[1] == pytest.approx(-0.3)
+    assert np.round(x[0], 1) == pytest.approx(0.2)  # the old behavior
+    # non-boundary values unchanged vs np.round
+    assert _round_half_away(np.array([0.123456]), 3)[0] == pytest.approx(0.123)
+
+
+# --------------------------------------------- salted_agg map-typed columns
+
+
+def test_salted_agg_skips_map_columns_in_default_salt(spark):
+    from topo_descriptors_spark.operators.features import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0, {"x": 1}), ("a", 2.0, {"y": 2}), ("b", 3.0, {"z": 3})],
+        "k string, v double, payload map<string,int>",
+    )
+    # pre-fix this raised at analysis time (xxhash64 rejects maps)
+    got = {r.k: (r.v_count, r.v_sum) for r in
+           salted_agg(df, "k", {"v": ["count", "sum"]}, salt_buckets=4).collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 3.0)}
+
+
+def test_xxhashable_type_predicate():
+    from pyspark.sql import types as T
+
+    from topo_descriptors_spark.operators.features import _xxhashable
+
+    assert _xxhashable(T.StringType())
+    assert _xxhashable(T.ArrayType(T.IntegerType()))
+    assert not _xxhashable(T.MapType(T.StringType(), T.IntegerType()))
+    assert not _xxhashable(
+        T.ArrayType(T.MapType(T.StringType(), T.IntegerType()))
+    )
+    assert not _xxhashable(
+        T.StructType([T.StructField(
+            "m", T.MapType(T.StringType(), T.IntegerType()))])
+    )
+
+
+# --------------------------------------- cms_counts broadcast-join fallback
+
+
+def test_cms_broadcast_join_form_matches_literal_form(spark):
+    from topo_descriptors_spark.operators import features as FT
+
+    rows = [(i % 23,) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int")
+    lit_form = {r.k: (r.est, r.n_true) for r in
+                FT.cms_counts(df, "k", depth=4, width=64).collect()}
+    # force the broadcast-join path at the same grid size
+    old = FT._CMS_LITERAL_CELLS
+    FT._CMS_LITERAL_CELLS = 1
+    try:
+        join_form = {r.k: (r.est, r.n_true) for r in
+                     FT.cms_counts(df, "k", depth=4, width=64).collect()}
+    finally:
+        FT._CMS_LITERAL_CELLS = old
+    assert lit_form == join_form
+
+
+def test_cms_user_sized_grid_does_not_embed_literals(spark):
+    from topo_descriptors_spark.operators.features import cms_counts
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    # 4 x 8192 = 32768 cells > threshold -> broadcast-join path; a wide
+    # sketch on tiny data is collision-free, so est == n_true exactly
+    out = {r.k: (r.est, r.n_true) for r in
+           cms_counts(df, "k", depth=4, width=8192).collect()}
+    assert out == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}

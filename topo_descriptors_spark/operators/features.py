@@ -781,6 +781,11 @@ def resample_ohlc(
     )
 
 
+# above this many depth*width cells, cms_counts switches from plan
+# literals to broadcast joins of the collected grid (ADVICE r5)
+_CMS_LITERAL_CELLS = 16384
+
+
 def cms_counts(
     df: DataFrame,
     key: str,
@@ -810,11 +815,17 @@ def cms_counts(
     table: ``est = least_i(counts_i[b_i])``, zero joins, zero extra
     scans.  (The previous shape joined ``cells.where(i == k)`` once per
     sketch row, recomputing the full cell aggregation depth+1 times —
-    ADVICE r4.)  Returns (key, est, n_true) — n_true is an exact count
-    for auditability; at true scale drop it and keep the sketch-only
-    path.  NULL keys hash to NULL buckets and drop out of the estimate
-    (identically in the SQL replay) — coalesce the key first if NULL
-    should count as a value.
+    ADVICE r4.)  Above ``_CMS_LITERAL_CELLS`` (16384) cells the grid is
+    instead broadcast-joined per depth level — user-sized sketches like
+    4 x 65536 would otherwise embed ~256k plan literals and bloat
+    analysis/codegen (ADVICE r5).  EAGER: the grid collect runs a Spark
+    job at CALL time, so the sketch is frozen at construction —
+    ``n_true`` (and any re-read of a non-static source at action time)
+    can observe newer data than the sketch did.  Returns (key, est,
+    n_true) — n_true is an exact count for auditability; at true scale
+    drop it and keep the sketch-only path.  NULL keys hash to NULL
+    buckets and drop out of the estimate (identically in the SQL
+    replay) — coalesce the key first if NULL should count as a value.
     """
     from topo_descriptors_spark.operators.dedup import minhash_params
     from topo_descriptors_spark.operators.text import HASH_PRIME, PORTABLE_HASH_SQL
@@ -851,22 +862,65 @@ def cms_counts(
     for r in cells.collect():
         if r["i"] is not None and r["b"] is not None:
             grid[r["i"]][r["b"]] = r["cnt"]
-    counts = [
-        F.array(*[F.lit(grid[i].get(b, 0)) for b in range(int(width))])
-        for i in range(len(params))
-    ]
-    # element_at is 1-based; bucket values are 0..width-1 by pmod
-    ests = [
-        F.element_at(counts[i], F.col(f"_b{i}").cast("int") + F.lit(1))
-        for i in range(len(params))
-    ]
-    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    if int(depth) * int(width) <= _CMS_LITERAL_CELLS:
+        # small grid: embed per-depth literal count arrays — the
+        # estimate pass is a pure map-side projection, zero joins
+        counts = [
+            F.array(*[F.lit(grid[i].get(b, 0)) for b in range(int(width))])
+            for i in range(len(params))
+        ]
+        # element_at is 1-based; bucket values are 0..width-1 by pmod
+        ests = [
+            F.element_at(counts[i], F.col(f"_b{i}").cast("int") + F.lit(1))
+            for i in range(len(params))
+        ]
+        est = ests[0] if len(ests) == 1 else F.least(*ests)
+        keyed = keys
+    else:
+        # user-sized grids (e.g. 4 x 65536) would bloat analysis and
+        # codegen with depth*width plan literals (ADVICE r5) — instead
+        # broadcast-join the already-collected grid, one tiny (<= width
+        # row) broadcast per depth level, still zero re-aggregation and
+        # zero corpus shuffle
+        spark = df.sparkSession
+        keyed = keys
+        for i in range(len(params)):
+            lvl = spark.createDataFrame(
+                [(int(b), int(c)) for b, c in grid[i].items()] or [(-1, 0)],
+                schema=f"_jb{i} long, _cnt{i} long",
+            )
+            keyed = keyed.join(
+                F.broadcast(lvl),
+                keyed[f"_b{i}"] == lvl[f"_jb{i}"],
+                "left",
+            ).drop(f"_jb{i}")
+        ests = [
+            F.coalesce(F.col(f"_cnt{i}"), F.lit(0))
+            for i in range(len(params))
+        ]
+        est = ests[0] if len(ests) == 1 else F.least(*ests)
     # NULL keys hash to NULL buckets: drop them exactly as the former
     # inner cell-join did (and as the SQL oracle replays)
     return (
-        keys.where(F.col("_b0").isNotNull())
+        keyed.where(F.col("_b0").isNotNull())
         .select(key, est.alias("est"), "n_true")
     )
+
+
+def _xxhashable(dt) -> bool:
+    """True when ``xxhash64`` accepts a column of this type at analysis
+    time.  Maps (and anything nesting a map) are the unsupported case —
+    hash expressions raise ``HASH_MAP_TYPE_EXPRESSIONS_ARE_NOT_ALLOWED``
+    unless a legacy flag is set (ADVICE r5)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
 
 
 # aggregate specs supported by the two-phase salted re-aggregation:
@@ -905,12 +959,15 @@ def salted_agg(
     task attempts on retry or stage recomputation, silently double- or
     under-counting stage-1 partials (the SPARK-23207 failure class) —
     exactly in the large skewed-agg setting this operator targets.  The
-    default salt is ``pmod(xxhash64(<every input column>), buckets)``:
-    byte-identical rows co-locate in one salt bucket (harmless — a hot
-    KEY is still spread across buckets by its varying value columns,
-    and exact duplicate rows collapse in the map-side partial anyway),
-    while retries replay the identical bucketing.  ``salt_col`` may
-    name any existing column to salt by instead.
+    default salt is ``pmod(xxhash64(<every hashable input column>),
+    buckets)``: byte-identical rows co-locate in one salt bucket
+    (harmless — a hot KEY is still spread across buckets by its varying
+    value columns, and exact duplicate rows collapse in the map-side
+    partial anyway), while retries replay the identical bucketing.
+    Map-typed columns are excluded from the default salt (``xxhash64``
+    rejects maps at analysis time); a schema whose ONLY columns are
+    maps must pass ``salt_col``.  ``salt_col`` may name any existing
+    deterministic column to salt by instead.
 
     The result is EXACTLY ``df.groupBy(keys).agg(...)`` (oracle-checked
     by the driver gate); only the physical shuffle layout differs.
@@ -927,13 +984,25 @@ def salted_agg(
                 f"{col!r}; supported: {_SALTED_AGGS}"
             )
     if salt_col is None:
-        # deterministic: hash EVERY input column so the same row maps
-        # to the same bucket on every task attempt (see docstring);
-        # xxhash64 decorrelates the buckets from the grouping keys
+        # deterministic: hash every HASHABLE input column so the same
+        # row maps to the same bucket on every task attempt (see
+        # docstring); xxhash64 decorrelates the buckets from the
+        # grouping keys.  Map-typed columns are skipped — xxhash64
+        # rejects them at analysis time (ADVICE r5); their presence
+        # only reduces bucket spread for rows identical elsewhere.
+        hashable = [c for c, f in zip(df.columns, df.schema.fields)
+                    if _xxhashable(f.dataType)]
+        if not hashable:
+            raise ValueError(
+                "salted_agg: no xxhash64-hashable columns for the "
+                "default deterministic salt (map-typed columns are "
+                "unsupported) — pass salt_col naming an existing "
+                "deterministic column to salt by"
+            )
         d = df.withColumn(
             "_salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.xxhash64(*[F.col(c) for c in hashable]),
                 F.lit(int(salt_buckets)),
             ),
         )

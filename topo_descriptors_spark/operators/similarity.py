@@ -33,6 +33,17 @@ def dot_col(a: str, b: str) -> Column:
     return F.expr(DOT_SQL.format(a=a, b=b))
 
 
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Vectorized round-half-AWAY-from-zero on binary doubles — DuckDB's
+    ROUND convention, and one step closer to Spark's decimal HALF_UP
+    than ``np.round``'s half-to-even (ADVICE r5).  Exact decimal-string
+    HALF_UP is not vectorizable; values landing exactly on a rounding
+    boundary under a different summation order may still differ by one
+    ulp from ``F.round`` — see :func:`cosine_topk_join_blocked`."""
+    p = 10.0 ** int(digits)
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 def norm_col(vec: str) -> Column:
     return F.sqrt(F.expr(DOT_SQL.format(a=vec, b=vec)))
 
@@ -613,6 +624,7 @@ def _check_retrieval_queries(
         return
     sz = queries.limit(max_query_rows + 1).agg(
         F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("nn"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).first()
     if sz["n"] > max_query_rows:
@@ -623,7 +635,14 @@ def _check_retrieval_queries(
             "or pass max_query_rows=None to override"
         )
     # guard-and-raise (engine convention): duplicate query ids would
-    # silently interleave two result sets under one id_q ranking
+    # silently interleave two result sets under one id_q ranking.
+    # count_distinct ignores NULLs, so NULL ids get their own dedicated
+    # error rather than a misleading "must be distinct" (ADVICE r5).
+    if sz["nn"] != sz["n"]:
+        raise ValueError(
+            f"{op}: query ids must be non-null "
+            f"({sz['n']} rows, {sz['n'] - sz['nn']} NULL {id_col!r})"
+        )
     if sz["nd"] != sz["n"]:
         raise ValueError(
             f"{op}: query ids must be distinct "
@@ -644,12 +663,22 @@ def cosine_topk_join(
     cosine neighbors from a separate CORPUS table — the RAG /
     seed-mining shape (cosine_topk is the self-join special case).
 
-    Plan for the 100-TB corpus: the QUERY side is the broadcast side
-    (bounded by ``max_query_rows``, guard-and-raise per the engine
-    convention), scoring is map-side over corpus partitions (the corpus
-    is scanned, never shuffled), and only the narrow (query, corpus_id,
-    cosine) triples shuffle for the per-query ranking window.  For
-    corpus-sized query sets use the LSH/IVF paths instead
+    **At corpus scale use :func:`cosine_topk_join_blocked` instead.**
+    This base form ships ALL ``n_corpus x n_query`` scored triples into
+    the per-query ranking window — at 10^9+ corpus rows that shuffle IS
+    the job.  The blocked twin scores each Arrow batch with one BLAS
+    matmul and emits only exact per-batch top-k partials, bounding the
+    ranking shuffle at ``batches x n_query x k``; same semantics, same
+    oracle.  The base form is retained as the zero-Python, pure-Catalyst
+    exact reference path for small/medium corpora and for engines where
+    Arrow is unavailable.
+
+    Plan notes: the QUERY side is the broadcast side (bounded by
+    ``max_query_rows``, guard-and-raise per the engine convention),
+    scoring is map-side over corpus partitions (the corpus is scanned,
+    never shuffled), and only the narrow (query, corpus_id, cosine)
+    triples shuffle for the per-query ranking window.  For corpus-sized
+    QUERY sets use the LSH/IVF paths instead
     (:func:`ann_topk_blocked`, :func:`ivf_topk`).
 
     Query ids must be distinct (guard-raised on the same bounded count
@@ -692,9 +721,17 @@ def cosine_topk_join_blocked(
     round_digits: int = 9,
     max_query_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Arrow/BLAS form of :func:`cosine_topk_join` — identical results
-    (same round-before-rank, same id-ascending tie-break, same zero-norm
-    exclusion; shares the driver-gate oracle), different physics:
+    """Arrow/BLAS form of :func:`cosine_topk_join` — same semantics
+    (round-before-rank, id-ascending tie-break, null/zero-norm corpus
+    and query rows excluded; shares the driver-gate oracle), different
+    physics.  Results are identical up to 1e-``round_digits`` rounding
+    boundaries: the kernel rounds half-away-from-zero on the binary
+    double (matching DuckDB's ROUND), while Spark's ``F.round`` in the
+    base form applies decimal HALF_UP to the shortest decimal
+    representation — a value landing exactly on a rounding boundary
+    after the two forms' different summation orders can round one ulp
+    apart and swap an adjacent rank.  The driver gate compares at 6
+    digits, which is the practical contract.
 
     * scoring is ONE numpy matmul per Arrow batch (``mapInPandas`` over
       corpus partitions) instead of a per-element ``zip_with`` fold —
@@ -712,8 +749,10 @@ def cosine_topk_join_blocked(
     The (bounded) query side is collected driver-side and shipped in
     the kernel closure — the broadcast-kernel pattern of SURVEY.md J3,
     bounded by the same ``max_query_rows`` guard job as the base form.
-    Ragged or dimension-mismatched embeddings raise (guard, not
-    truncate; the zip_with base form would silently null them).
+    NULL corpus embeddings are excluded exactly like the base form
+    (ADVICE r5); ragged or dimension-mismatched embeddings raise
+    (guard, not truncate; the zip_with base form would silently null
+    them).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -747,8 +786,18 @@ def cosine_topk_join_blocked(
     qid_arr = np.asarray(q_ids, dtype=object)
     dim = Q.shape[1]
 
+    pow10 = 10.0 ** rd
+
     def score(batches):
+        # NOTE: this closure must stay SELF-CONTAINED (numpy/pandas
+        # only, no module-level helpers) — executors deserialize it
+        # without the package on sys.path unless --py-files shipped it
         for pdf in batches:
+            # NULL corpus embeddings drop out silently, matching the
+            # base form's zero-norm/null exclusion (ADVICE r5) — an
+            # unmasked NULL would make np.stack raise a misleading
+            # "ragged lengths" error
+            pdf = pdf[pdf[vec].notna()]
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
@@ -770,7 +819,12 @@ def cosine_topk_join_blocked(
                 continue
             C = C[ok] / nrm[ok, None]
             ids = ids[ok]
-            S = np.round(C @ Q.T, rd)  # (n_corpus_batch, n_query)
+            # half-away-from-zero (DuckDB ROUND; one step closer to
+            # Spark's decimal HALF_UP than np.round's half-to-even —
+            # semantics pinned by _round_half_away's unit test; inlined
+            # here to keep the closure self-contained, ADVICE r5)
+            M = C @ Q.T  # (n_corpus_batch, n_query)
+            S = np.sign(M) * np.floor(np.abs(M) * pow10 + 0.5) / pow10
             n = len(ids)
             take = min(kk, n)
             oq, oc, os_ = [], [], []
