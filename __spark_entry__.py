@@ -792,7 +792,10 @@ def q_sessionize_stream(spark, sf_dir):
     import tempfile
     import uuid
 
-    from topo_descriptors_spark.streaming.sessions import sessionize_stream
+    from topo_descriptors_spark.streaming.sessions import (
+        sessionize_stream,
+        state_partitions,
+    )
 
     schema = _events(spark, sf_dir).schema
     # the file stream source requires a DIRECTORY; the testdata tables
@@ -810,15 +813,19 @@ def q_sessionize_stream(spark, sf_dir):
     sess = sessionize_stream(ev, gap_seconds=21600, watermark="87600 hours")
     name = "sess_gate_" + uuid.uuid4().hex[:8]
     ckp = tempfile.mkdtemp(prefix="ckp_sess_gate_")
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckp)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to gate-scale state volume, not the
+    # session's batch shuffle default (see streaming.sessions.
+    # state_partitions: 4.6x drain measured at sf0.1)
+    with state_partitions(spark, 8):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckp)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
@@ -847,7 +854,10 @@ def q_dedup_stream(spark, sf_dir):
     import tempfile
     import uuid
 
-    from topo_descriptors_spark.streaming.sessions import dedup_stream
+    from topo_descriptors_spark.streaming.sessions import (
+        dedup_stream,
+        state_partitions,
+    )
 
     schema = _events(spark, sf_dir).schema
     ev = (
@@ -866,15 +876,19 @@ def q_dedup_stream(spark, sf_dir):
     )
     name = "dedup_gate_" + uuid.uuid4().hex[:8]
     ckp = tempfile.mkdtemp(prefix="ckp_dedup_gate_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckp)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to gate-scale state volume, not the
+    # session's batch shuffle default (see streaming.sessions.
+    # state_partitions: 4.6x drain measured at sf0.1)
+    with state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckp)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -894,6 +908,7 @@ def q_decayed_stream(spark, sf_dir):
     import tempfile
     import uuid
 
+    from topo_descriptors_spark.streaming.sessions import state_partitions
     from topo_descriptors_spark.streaming.state import decayed_entity_state
 
     schema = _events(spark, sf_dir).schema
@@ -913,15 +928,19 @@ def q_decayed_stream(spark, sf_dir):
     )
     name = "decay_gate_" + uuid.uuid4().hex[:8]
     ckp = tempfile.mkdtemp(prefix="ckp_decay_gate_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckp)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to gate-scale state volume, not the
+    # session's batch shuffle default (see streaming.sessions.
+    # state_partitions: 4.6x drain measured at sf0.1)
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckp)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("id").alias("event_id"),
         F.col("entity").alias("user_id"),
@@ -1594,7 +1613,10 @@ def q_window_counts_stream(spark, sf_dir):
     import tempfile
     import uuid
 
-    from topo_descriptors_spark.streaming.sessions import windowed_counts_stream
+    from topo_descriptors_spark.streaming.sessions import (
+        state_partitions,
+        windowed_counts_stream,
+    )
 
     schema = _events(spark, sf_dir).schema
     ev = (
@@ -1608,15 +1630,19 @@ def q_window_counts_stream(spark, sf_dir):
     agg = windowed_counts_stream(ev, 86400, watermark="87600 hours")
     name = "winc_gate_" + uuid.uuid4().hex[:8]
     ckp = tempfile.mkdtemp(prefix="ckp_winc_gate_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckp)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to gate-scale state volume, not the
+    # session's batch shuffle default (see streaming.sessions.
+    # state_partitions: 4.6x drain measured at sf0.1)
+    with state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckp)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.unix_micros("window_start").alias("start_us"),
