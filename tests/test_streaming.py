@@ -189,3 +189,17 @@ def test_windowed_counts_stream_equals_batch(spark):
     got["n_events"] = got["n_events"].astype("int64")
     want["n_events"] = want["n_events"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_state_partitions_pins_and_restores(spark):
+    from topo_descriptors_spark.streaming.sessions import state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # restore happens on error too
+    with pytest.raises(RuntimeError):
+        with state_partitions(spark, 5):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
