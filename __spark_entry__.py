@@ -1877,6 +1877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_cosine_topk_join": q_cosine_topk_join,
         "a_salted_agg": q_salted_agg,
         "k_cms_counts": q_cms_counts,
+        # (stateful stream drains re-verify too: state partitions now
+        # pinned via state_partitions — physical-only, result-identical;
+        # the other two twins are already below in the r4 group)
+        "w_window_counts_stream": q_window_counts_stream,
+        "w_sessionize_stream": q_sessionize_stream,
         # -- oldest unchanged r4-official rows, filling the window --
         "w_packed_features": q_packed_features,
         "d_exact_groups": q_exact_dedup_groups,
@@ -1910,12 +1915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_quantiles": q_rolling_quantiles,
         "k_kmv_distinct": q_kmv_distinct,
         "a_quantile_bin": q_quantile_bin,
-        "a_corr_matrix": q_corr_matrix,
-        "d_bloom_prune": q_bloom_prune,
         # ---- 50-row window boundary ----
-        # ROUND-7 CURATION NOTE: these 16 r4-official rows spilled
+        # ROUND-7 CURATION NOTE: these 18 r4-official rows spilled
         # the r6 window and will be 2 rounds stale — they go FIRST
         # in r7 (all are green in CORRECTNESS_FULL_r06.json):
+        "a_corr_matrix": q_corr_matrix,
+        "d_bloom_prune": q_bloom_prune,
         "a_funnel": q_funnel,
         "p_stratified_split": q_stratified_split,
         "a_robust_scale": q_robust_scale,
@@ -1935,7 +1940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fresh green rows in CORRECTNESS_r05.json --
         "a_ohlc": q_ohlc,
         "p_temporal_split": q_temporal_split,
-        "w_window_counts_stream": q_window_counts_stream,
         "j_asof_nearest": q_asof_nearest,
         "j_asof_nearest_strict": q_asof_nearest_strict,
         "w_enrich_stream": q_enrich_stream,
@@ -1974,7 +1978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_pack_greedy": q_pack_greedy,
         "p_resample": q_resample,
         "f_json_extract": q_json_extract,
-        "w_sessionize_stream": q_sessionize_stream,
         "s_rand_proj": q_rand_proj,
         "a_rank_ops": q_rank_ops,
         "t_pii_redact": q_pii_redact,
