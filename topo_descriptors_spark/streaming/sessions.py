@@ -82,17 +82,39 @@ def sessionize_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
-    """Drain all available input and stop (deterministic batch-like run)."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def run_available_now(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    n_state_partitions: int | None = None,
+) -> None:
+    """Drain all available input and stop (deterministic batch-like run).
+
+    ``n_state_partitions`` pins the stateful query's state partition
+    count for this drain (see :func:`state_partitions` for why the
+    session's batch shuffle default is the wrong number — 4.6-20x
+    measured); ``None`` keeps the session setting.  Ignored by Spark
+    for stateless plans.  NOTE the checkpoint freezes the first run's
+    value — to change it later, start a fresh checkpoint.
+    """
+    spark = stream_df.sparkSession
+
+    def _start():
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if n_state_partitions is None:
+        _start()
+    else:
+        with state_partitions(spark, n_state_partitions):
+            _start()
 
 
 def dedup_stream(
