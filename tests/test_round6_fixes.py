@@ -212,3 +212,33 @@ def test_run_available_now_pins_state_partitions(spark, tmp_path):
     assert meta["conf"]["spark.sql.shuffle.partitions"] == "2"
     out = spark.read.parquet(str(tmp_path / "out")).where("user_id != 9999")
     assert out.count() == 2  # two sessions (gap > 1h splits user 1 vs 2)
+
+
+def test_arrow_kernels_run_without_package_on_worker_path(tmp_path):
+    """Workers must not need the repo on their import path: get_spark
+    auto-ships the package zip (cloudpickle serializes module-level
+    kernel helpers BY REFERENCE — pre-fix this died mid-task with
+    ModuleNotFoundError whenever the driver cwd wasn't the repo)."""
+    import subprocess
+    import sys
+
+    repo = "/root/repo"
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from topo_descriptors_spark import get_spark\n"
+        "from topo_descriptors_spark.operators import tiles as T\n"
+        "from pyspark.sql import functions as F\n"
+        "spark = get_spark('iso-pin', master='local[2]', shuffle_partitions=4)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "g = spark.range(256).select((F.col('id')/16).cast('int').alias('y'),"
+        " F.pmod(F.col('id'), F.lit(16)).cast('int').alias('x'),"
+        " (F.col('id')*1.0).alias('value'))\n"
+        "assert T.tpi_2d(g, (16, 16), size=5, tile_size=8).count() == 256\n"
+        "print('ISO-OK')\n" % repo
+    )
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k != "PYTHONPATH"}  # the env var would mask the bug
+    r = subprocess.run([sys.executable, "-c", script], cwd=str(tmp_path),
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ISO-OK" in r.stdout

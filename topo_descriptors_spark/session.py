@@ -54,4 +54,40 @@ def get_spark(
     )
     for k, v in {**CFG.spark_extra, **(extra or {})}.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable by Python WORKERS, not just the driver.
+
+    Arrow kernel closures (tiles, packed, multimodal, streaming state)
+    reference package modules, and cloudpickle serializes module-level
+    functions BY REFERENCE — a worker that cannot ``import
+    topo_descriptors_spark`` fails mid-task with ModuleNotFoundError.
+    On a real cluster ``spark-submit --py-files`` ships the package (the
+    deployment shape this engine documents); this covers every other
+    entry point — a driver that merely put the repo on ``sys.path``
+    (tests, notebooks, scripts run from another cwd) — by zipping the
+    installed package once per session and ``addPyFile``-ing it, which
+    distributes to workers in ANY master mode.  No-op when already
+    shipped or when the package is on the workers' import path anyway.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_tds_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.mkdtemp(prefix="tds_pyfiles_"), "topo_descriptors_spark_pkg"
+    )
+    # zip with the package as the archive root so workers import it flat
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc._tds_pkg_shipped = True
