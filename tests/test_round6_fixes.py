@@ -242,3 +242,25 @@ def test_arrow_kernels_run_without_package_on_worker_path(tmp_path):
                        env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ISO-OK" in r.stdout
+
+
+def test_round_half_away_matches_duckdb_round_exactly():
+    """Cross-engine pin for the blocked kernel's rounding: DuckDB ROUND
+    (the oracle engine) agrees bit-for-bit on 20k seeded values incl.
+    near-boundary multiples of 2.5e-9 — the residual divergence risk is
+    only vs Spark's decimal-string HALF_UP, as documented."""
+    import duckdb
+
+    from topo_descriptors_spark.operators.similarity import _round_half_away
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.uniform(-1, 1, 20000),
+        np.array([0.25e-8 * k for k in range(-10, 11)]),
+    ])
+    con = duckdb.connect()
+    duck = con.execute(
+        "select round(v, 9) from (select unnest(?) v)", [x.tolist()]
+    ).fetchnumpy()
+    dv = next(iter(duck.values()))
+    assert np.abs(_round_half_away(x, 9) - dv).max() == 0.0
