@@ -81,6 +81,17 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip/egg: under spark-submit --py-files the
+        # archive is already on every worker's path; when the driver
+        # merely put the zip on sys.path itself, ship that same zip
+        arch = pkg_dir
+        while arch and not os.path.isfile(arch):
+            arch = os.path.dirname(arch)
+        if arch and arch not in sc.getConf().get("spark.submit.pyFiles", ""):
+            sc.addPyFile(arch)
+        sc._tds_pkg_shipped = True
+        return
     base = os.path.join(
         tempfile.mkdtemp(prefix="tds_pyfiles_"), "topo_descriptors_spark_pkg"
     )
