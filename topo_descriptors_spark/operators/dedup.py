@@ -245,6 +245,13 @@ def ngram_jaccard_pairs(
         .where(F.col("sh").isNotNull())
         .distinct()
     )
+    # sizes/freq/kept all hang off `sh` ON PURPOSE: Spark's ReuseExchange
+    # dedupes the (scan -> shingle-hash -> explode -> distinct) subplan
+    # across all three consumers, so the expensive md5-shingle transform
+    # runs once.  Deriving n_sh map-side from the hash array instead
+    # (size(array_distinct(...))) looks cheaper — one less groupBy — but
+    # re-evaluates the transform per join consumer and measured 4x
+    # SLOWER at sf0.1 (3.0 s -> 12.0 s, r6 A/B).
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
     kept = sh.join(freq.where(F.col("df_") <= max_df), "sh").select(id_col, "sh")
