@@ -258,6 +258,8 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
         "w_sessionize_stream",
         "w_dedup_stream",
         "w_decayed_stream",
+        "w_window_counts_stream",
+        "w_enrich_stream",
     ]
     qs = dict(entrymod.queries())
     # round 4 halved the GATE inputs of the pair-join dedup rows (gate
