@@ -23,7 +23,9 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+# repo root (parent of scripts/), so the check runs from any cwd
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from topo_descriptors_spark.session import get_spark
