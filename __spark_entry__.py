@@ -47,6 +47,56 @@ def _with_nulled(df: DataFrame) -> DataFrame:
     return df.withColumn("value_n", F.expr(_NULLED))
 
 
+_STREAM_GATE_TABLES: dict[str, str] = {}  # prefix -> last sink table
+
+
+def _drain_to_memory(spark, sdf, prefix, mode, n_state=None):
+    """Drain a streaming DataFrame availableNow into a memory sink and
+    return the sink as a batch DataFrame — the shared plumbing of the
+    five streaming gate rows (ADVICE r6: each drain used to leak its
+    mkdtemp checkpoint and its uuid-named sink table, so repeated bench
+    runs accumulated /tmp litter and complete-mode driver memory).
+
+    The checkpoint dir is removed as soon as the drain terminates (the
+    memory sink holds the result; a checkpoint only matters to a LIVE
+    query).  The PREVIOUS same-prefix sink table is dropped on the next
+    call — the driver/bench/selfcheck loops are serial, so by then it
+    has been materialized; holding results from two invocations of the
+    SAME gate row concurrently is not a supported pattern.  Stateful
+    drains pass ``n_state``: state partitions sized to gate-scale state
+    volume, not the session's batch shuffle default (see
+    streaming.sessions.state_partitions — 10-20x measured at sf0.1).
+    """
+    import shutil
+    import tempfile
+    import uuid
+    from contextlib import nullcontext
+
+    from topo_descriptors_spark.streaming.sessions import state_partitions
+
+    old = _STREAM_GATE_TABLES.pop(prefix, None)
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    name = prefix + "_" + uuid.uuid4().hex[:8]
+    ckp = tempfile.mkdtemp(prefix="ckp_" + prefix + "_")
+    ctx = state_partitions(spark, n_state) if n_state else nullcontext()
+    try:
+        with ctx:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckp)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckp, ignore_errors=True)
+    _STREAM_GATE_TABLES[prefix] = name
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # window features (SURVEY.md §2.5) over events(user_id, ts, value)
 # ---------------------------------------------------------------------------
@@ -789,13 +839,7 @@ def q_sessionize_stream(spark, sf_dir):
     only on strictly-greater — the oracle uses >= to match streaming).
     Outputs epoch-microsecond longs (NTZ-safe, tz-independent).
     """
-    import tempfile
-    import uuid
-
-    from topo_descriptors_spark.streaming.sessions import (
-        sessionize_stream,
-        state_partitions,
-    )
+    from topo_descriptors_spark.streaming.sessions import sessionize_stream
 
     schema = _events(spark, sf_dir).schema
     # the file stream source requires a DIRECTORY; the testdata tables
@@ -811,22 +855,9 @@ def q_sessionize_stream(spark, sf_dir):
         )
     )
     sess = sessionize_stream(ev, gap_seconds=21600, watermark="87600 hours")
-    name = "sess_gate_" + uuid.uuid4().hex[:8]
-    ckp = tempfile.mkdtemp(prefix="ckp_sess_gate_")
-    # state partitions sized to gate-scale state volume, not the
-    # session's batch shuffle default (see streaming.sessions.
-    # state_partitions: 4.6x drain measured at sf0.1)
-    with state_partitions(spark, 8):
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckp)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_to_memory(
+        spark, sess, "sess_gate", "complete", n_state=8
+    ).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
@@ -851,13 +882,7 @@ def q_dedup_stream(spark, sf_dir):
     w_sessionize_stream, documented there).  The batch-equivalence of
     the full-row form is pytest-pinned in test_streaming.py.
     """
-    import tempfile
-    import uuid
-
-    from topo_descriptors_spark.streaming.sessions import (
-        dedup_stream,
-        state_partitions,
-    )
+    from topo_descriptors_spark.streaming.sessions import dedup_stream
 
     schema = _events(spark, sf_dir).schema
     ev = (
@@ -874,22 +899,9 @@ def q_dedup_stream(spark, sf_dir):
         ev, id_cols=("user_id", "event_type"), ts="ts",
         watermark="87600 hours",
     )
-    name = "dedup_gate_" + uuid.uuid4().hex[:8]
-    ckp = tempfile.mkdtemp(prefix="ckp_dedup_gate_")
-    # state partitions sized to gate-scale state volume, not the
-    # session's batch shuffle default (see streaming.sessions.
-    # state_partitions: 4.6x drain measured at sf0.1)
-    with state_partitions(spark, 8):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckp)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).select("user_id", "event_type")
+    return _drain_to_memory(
+        spark, deduped, "dedup_gate", "append", n_state=8
+    ).select("user_id", "event_type")
 
 
 def q_decayed_stream(spark, sf_dir):
@@ -905,10 +917,6 @@ def q_decayed_stream(spark, sf_dir):
     cross-batch arrival order is deterministic here; in production the
     same operator is simply incremental (state carries across batches).
     """
-    import tempfile
-    import uuid
-
-    from topo_descriptors_spark.streaming.sessions import state_partitions
     from topo_descriptors_spark.streaming.state import decayed_entity_state
 
     schema = _events(spark, sf_dir).schema
@@ -926,22 +934,9 @@ def q_decayed_stream(spark, sf_dir):
     out = decayed_entity_state(
         ev, half_life_seconds=86400.0, lookback_rows=50
     )
-    name = "decay_gate_" + uuid.uuid4().hex[:8]
-    ckp = tempfile.mkdtemp(prefix="ckp_decay_gate_")
-    # state partitions sized to gate-scale state volume, not the
-    # session's batch shuffle default (see streaming.sessions.
-    # state_partitions: 4.6x drain measured at sf0.1)
-    with state_partitions(spark, 8):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckp)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_to_memory(
+        spark, out, "decay_gate", "append", n_state=8
+    ).select(
         F.col("id").alias("event_id"),
         F.col("entity").alias("user_id"),
         _r("decayed_sum").alias("decayed_sum"),
@@ -1610,13 +1605,7 @@ def q_window_counts_stream(spark, sf_dir):
     availableNow into a memory sink in complete mode (same gate-only
     physics as w_sessionize_stream, documented there).  Epoch-aligned
     windows make the batch oracle an exact floor-division bucketing."""
-    import tempfile
-    import uuid
-
-    from topo_descriptors_spark.streaming.sessions import (
-        state_partitions,
-        windowed_counts_stream,
-    )
+    from topo_descriptors_spark.streaming.sessions import windowed_counts_stream
 
     schema = _events(spark, sf_dir).schema
     ev = (
@@ -1628,22 +1617,9 @@ def q_window_counts_stream(spark, sf_dir):
         )
     )
     agg = windowed_counts_stream(ev, 86400, watermark="87600 hours")
-    name = "winc_gate_" + uuid.uuid4().hex[:8]
-    ckp = tempfile.mkdtemp(prefix="ckp_winc_gate_")
-    # state partitions sized to gate-scale state volume, not the
-    # session's batch shuffle default (see streaming.sessions.
-    # state_partitions: 4.6x drain measured at sf0.1)
-    with state_partitions(spark, 8):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckp)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_to_memory(
+        spark, agg, "winc_gate", "complete", n_state=8
+    ).select(
         "user_id",
         F.unix_micros("window_start").alias("start_us"),
         F.col("n_events").cast("long").alias("n_events"),
@@ -1761,9 +1737,6 @@ def q_enrich_stream(spark, sf_dir):
     parquet as a file stream, each event joined to a batch-computed
     per-user event-count dim (stateless — append mode is deterministic
     regardless of micro-batch slicing, no watermark tricks needed)."""
-    import tempfile
-    import uuid
-
     from topo_descriptors_spark.streaming.sessions import enrich_stream
 
     ev_batch = _events(spark, sf_dir)
@@ -1778,18 +1751,7 @@ def q_enrich_stream(spark, sf_dir):
         .select("event_id", "user_id")
     )
     out = enrich_stream(ev, dim, on="user_id")
-    name = "enr_gate_" + uuid.uuid4().hex[:8]
-    ckp = tempfile.mkdtemp(prefix="ckp_enr_gate_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckp)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_to_memory(spark, out, "enr_gate", "append").select(
         "event_id", "user_id", F.col("user_n_events").cast("long").alias("user_n_events")
     )
 
@@ -1840,85 +1802,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return asof_join(q, purchases, on="user_id", q_ts="q_ts", s_ts="ts")
 
 
+# ---------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r6 #2: computed, not hand-curated)
+# ---------------------------------------------------------------------------
+# The driver records official correctness rows for only the FIRST
+# _WINDOW entries of queries(); declaration order is run order.  The
+# window is COMPUTED: _contract() holds the full contract in a fixed
+# canonical order, rotated by _STRIDE positions per round, so any 3
+# consecutive windows cover 3 * 42 = 126 >= 112 canonical positions —
+# every query gets a fresh official row at least once every 3 rounds,
+# with no hand-maintained curation notes.  Ahead of the rotated block:
+#   _PINNED  — always-run core rows (the flagship query's constituent
+#              operators: the multiscale window bank and the as-of
+#              join) get an official row EVERY round;
+#   _TOUCHED — rows whose operator/query/oracle code changed THIS
+#              round (refresh by hand each round; empty when nothing
+#              changed).  New contract entries are APPENDED to
+#              _contract() and listed here for their first round.
+# len(_PINNED) + len(_TOUCHED) <= _WINDOW - _STRIDE is enforced (and
+# property-tested in tests/test_rotation.py) so the full stride block
+# always fits the window even with the head in front.  _BASE_ROUND
+# anchors the phase: the canonical order below is the r7 staleness
+# order (18 r4-official rows, then 44 r5-official, then 50
+# r6-official), so ROUND = 7 reproduces exactly the window the r6
+# verdict's ROUND-7 CURATION NOTE prescribed (the r6 ADVICE count
+# mismatch in the old hand-written note is moot — the note is gone).
+
+ROUND = 7          # bump each round; refresh _TOUCHED at the same time
+_BASE_ROUND = 7    # round at which the canonical order was laid down
+_WINDOW = 50       # driver records the first 50 queries() entries
+_STRIDE = 42       # rotation step: ceil(112 / 42) = 3-round freshness
+
+_PINNED = ("w_tpi_multiscale", "j_asof_events")
+_TOUCHED = (
+    # r7: the five streaming gate rows moved onto the shared
+    # _drain_to_memory helper (checkpoint cleanup + sink bookkeeping,
+    # ADVICE r6) — physical-only, but changed code re-verifies.
+    "w_sessionize_stream",
+    "w_dedup_stream",
+    "w_decayed_stream",
+    "w_window_counts_stream",
+    "w_enrich_stream",
+)
+
+
+def _window_order(round_no: int, head: tuple, keys: list) -> list:
+    """Pure rotation: ``head`` rows first, then the canonical order
+    rotated by (round_no - _BASE_ROUND) * _STRIDE.  The first _WINDOW
+    entries of the result are the driver's official window."""
+    head = [k for k in head if k in keys]
+    slack = _WINDOW - _STRIDE
+    if len(head) > slack:
+        raise ValueError(
+            f"pinned+touched = {len(head)} rows exceed the window slack "
+            f"{slack}; shrink _TOUCHED or lower _STRIDE"
+        )
+    start = ((round_no - _BASE_ROUND) * _STRIDE) % len(keys)
+    rotated = keys[start:] + keys[:start]
+    return head + [k for k in rotated if k not in head]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Declaration order IS the driver's run order, and the driver's
-    # correctness file records only the FIRST 50 entries — so the order
-    # rotates each round (VERDICT r3 #1 / ADVICE r3): queries go first
-    # when (a) their official row is oldest, or (b) their query or
-    # oracle or operator code changed this round; queries with a fresh
-    # green row from last round and no change yield their slot.  Round
-    # 6 window (VERDICT r5 #1): the 12 r3-official rows that spilled
-    # the r5 window (2 rounds stale), then the 4 operators touched by
-    # the r6 ADVICE fixes, then the 34 oldest unchanged r4-official
-    # rows.  16 r4 rows spill to r7 (see the ROUND-7 CURATION NOTE at
-    # the window boundary); every spilled row is still green in the
-    # self-recorded full-contract artifact CORRECTNESS_FULL_r06.json
-    # (scripts/selfcheck.py --emit-correctness), so freshness debt is
-    # driver-window bookkeeping, never an unverified gap.
+    contract = _contract()
+    order = _window_order(ROUND, _PINNED + _TOUCHED, list(contract))
+    return {k: contract[k] for k in order}
+
+
+def _contract() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full 112-query contract in canonical rotation order (FIXED —
+    do not reorder; append new queries at the END and list them in
+    _TOUCHED for their first round).  Laid down at r7 in staleness
+    order: 18 r4-official rows, then 44 r5-official, then 50
+    r6-official."""
     return {
-        # -- 12 r3-official rows, 2 rounds stale (VERDICT r5 #1 /
-        # ROUND-6 CURATION NOTE executed) --
-        "p_seeded_shuffle": q_seeded_shuffle,
-        "t_vocab_topk": q_vocab_topk,
-        "s_quantize": q_quantize,
-        "m_media_features": q_media_features,
-        "m_frame_features": q_frame_features,
-        "w_gaussian_arrow": q_gaussian_arrow,
-        "w_tpi_chunked": q_tpi_chunked,
-        "w_matched_filter": q_matched_filter,
-        "w_sx_shelter": q_sx_shelter,
-        "j_asof_bucketed": q_asof_bucketed,
-        "j_asof_tolerance": q_asof_tolerance,
-        "a_quantile": q_quantile,
-        # -- operators whose code changed in r6 (ADVICE r5 fixes:
-        # blocked-kernel rounding+NULLs, retrieval guard, salted_agg
-        # default salt, cms_counts join fallback) --
-        "s_cosine_topk_join_blocked": q_cosine_topk_join_blocked,
-        "s_cosine_topk_join": q_cosine_topk_join,
-        "a_salted_agg": q_salted_agg,
-        "k_cms_counts": q_cms_counts,
-        # (stateful stream drains re-verify too: state partitions now
-        # pinned via state_partitions — physical-only, result-identical;
-        # the other two twins are already below in the r4 group)
-        "w_window_counts_stream": q_window_counts_stream,
-        "w_sessionize_stream": q_sessionize_stream,
-        # -- oldest unchanged r4-official rows, filling the window --
-        "w_packed_features": q_packed_features,
-        "d_exact_groups": q_exact_dedup_groups,
-        "d_minhash_sig": q_minhash_sig,
-        "d_minhash_pairs": q_minhash_pairs,
-        "d_ngram_jaccard": q_ngram_jaccard,
-        "d_simhash": q_simhash,
-        "d_simhash_pairs": q_simhash_pairs,
-        "d_dedup_components": q_dedup_components,
-        "s_near_dup_lsh": q_near_dup_lsh,
-        "j_asof_fused": q_asof_fused,
-        "g_tpi_2d": q_tpi_2d,
-        "g_sx_2d": q_sx_2d,
-        "g_valley_2d": q_valley_2d,
-        "g_gaussian_2d": q_gaussian_2d,
-        "g_std_2d": q_std_2d,
-        "g_gradient_2d": q_gradient_2d,
-        "w_dedup_stream": q_dedup_stream,
-        "w_decayed": q_decayed,
-        "t_tfidf": q_tfidf,
-        "a_pivot": q_pivot,
-        "a_cube": q_cube,
-        "d_keep_best": q_keep_best,
-        "p_chunk": q_chunk,
-        "p_token_budget": q_token_budget,
-        "w_decayed_stream": q_decayed_stream,
-        "e_target_encode": q_target_encode,
-        "e_count_encode": q_count_encode,
-        "e_feature_hash": q_feature_hash,
-        "t_hash_vectorize": q_hash_vectorize,
-        "w_rolling_quantiles": q_rolling_quantiles,
-        "k_kmv_distinct": q_kmv_distinct,
-        "a_quantile_bin": q_quantile_bin,
-        # ---- 50-row window boundary ----
-        # ROUND-7 CURATION NOTE: these 18 r4-official rows spilled
-        # the r6 window and will be 2 rounds stale — they go FIRST
-        # in r7 (all are green in CORRECTNESS_FULL_r06.json):
+        # -- official r4 as of r7 (rotation phase 0 starts here) --
         "a_corr_matrix": q_corr_matrix,
         "d_bloom_prune": q_bloom_prune,
         "a_funnel": q_funnel,
@@ -1937,7 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_token_prefix_dup": q_token_prefix_dup,
         "a_heavy_hitters": q_heavy_hitters,
         "w_cum_distinct": q_cum_distinct,
-        # -- fresh green rows in CORRECTNESS_r05.json --
+        # -- official r5 as of r7 --
         "a_ohlc": q_ohlc,
         "p_temporal_split": q_temporal_split,
         "j_asof_nearest": q_asof_nearest,
@@ -1982,6 +1939,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rank_ops": q_rank_ops,
         "t_pii_redact": q_pii_redact,
         "d_decontaminate": q_decontaminate,
+        # -- official r6 as of r7 (freshest when this order was laid) --
+        "p_seeded_shuffle": q_seeded_shuffle,
+        "t_vocab_topk": q_vocab_topk,
+        "s_quantize": q_quantize,
+        "m_media_features": q_media_features,
+        "m_frame_features": q_frame_features,
+        "w_gaussian_arrow": q_gaussian_arrow,
+        "w_tpi_chunked": q_tpi_chunked,
+        "w_matched_filter": q_matched_filter,
+        "w_sx_shelter": q_sx_shelter,
+        "j_asof_bucketed": q_asof_bucketed,
+        "j_asof_tolerance": q_asof_tolerance,
+        "a_quantile": q_quantile,
+        "s_cosine_topk_join_blocked": q_cosine_topk_join_blocked,
+        "s_cosine_topk_join": q_cosine_topk_join,
+        "a_salted_agg": q_salted_agg,
+        "k_cms_counts": q_cms_counts,
+        "w_window_counts_stream": q_window_counts_stream,
+        "w_sessionize_stream": q_sessionize_stream,
+        "w_packed_features": q_packed_features,
+        "d_exact_groups": q_exact_dedup_groups,
+        "d_minhash_sig": q_minhash_sig,
+        "d_minhash_pairs": q_minhash_pairs,
+        "d_ngram_jaccard": q_ngram_jaccard,
+        "d_simhash": q_simhash,
+        "d_simhash_pairs": q_simhash_pairs,
+        "d_dedup_components": q_dedup_components,
+        "s_near_dup_lsh": q_near_dup_lsh,
+        "j_asof_fused": q_asof_fused,
+        "g_tpi_2d": q_tpi_2d,
+        "g_sx_2d": q_sx_2d,
+        "g_valley_2d": q_valley_2d,
+        "g_gaussian_2d": q_gaussian_2d,
+        "g_std_2d": q_std_2d,
+        "g_gradient_2d": q_gradient_2d,
+        "w_dedup_stream": q_dedup_stream,
+        "w_decayed": q_decayed,
+        "t_tfidf": q_tfidf,
+        "a_pivot": q_pivot,
+        "a_cube": q_cube,
+        "d_keep_best": q_keep_best,
+        "p_chunk": q_chunk,
+        "p_token_budget": q_token_budget,
+        "w_decayed_stream": q_decayed_stream,
+        "e_target_encode": q_target_encode,
+        "e_count_encode": q_count_encode,
+        "e_feature_hash": q_feature_hash,
+        "t_hash_vectorize": q_hash_vectorize,
+        "w_rolling_quantiles": q_rolling_quantiles,
+        "k_kmv_distinct": q_kmv_distinct,
+        "a_quantile_bin": q_quantile_bin,
     }
 
 

@@ -70,9 +70,14 @@ def _ship_package(spark: SparkSession) -> None:
     deployment shape this engine documents); this covers every other
     entry point — a driver that merely put the repo on ``sys.path``
     (tests, notebooks, scripts run from another cwd) — by zipping the
-    installed package once per session and ``addPyFile``-ing it, which
-    distributes to workers in ANY master mode.  No-op when already
-    shipped or when the package is on the workers' import path anyway.
+    installed package once and ``addPyFile``-ing it, which distributes
+    to workers in ANY master mode.  No-op when already shipped, when
+    spark-submit --py-files already distributed the package, or when
+    the package is on the workers' import path anyway.  The zip is
+    cached under a stable temp path keyed by a content fingerprint
+    (max mtime + total size of the package's .py files), so repeated
+    sessions reuse it and an edited package rebuilds it (ADVICE r6:
+    the old mkdtemp-per-session left one orphan dir per SparkSession).
     """
     sc = spark.sparkContext
     if getattr(sc, "_tds_pkg_shipped", False):
@@ -80,6 +85,10 @@ def _ship_package(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
+    if "topo_descriptors_spark" in sc.getConf().get(
+            "spark.submit.pyFiles", ""):
+        sc._tds_pkg_shipped = True
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if not os.path.isdir(pkg_dir):
         # imported from a zip/egg: under spark-submit --py-files the
@@ -92,13 +101,31 @@ def _ship_package(spark: SparkSession) -> None:
             sc.addPyFile(arch)
         sc._tds_pkg_shipped = True
         return
-    base = os.path.join(
-        tempfile.mkdtemp(prefix="tds_pyfiles_"), "topo_descriptors_spark_pkg"
-    )
-    # zip with the package as the archive root so workers import it flat
-    zip_path = shutil.make_archive(
-        base, "zip", root_dir=os.path.dirname(pkg_dir),
-        base_dir=os.path.basename(pkg_dir),
-    )
+    # content fingerprint: cheap stat walk, no file reads — enough to
+    # invalidate the cache whenever any package .py changes
+    mt, sz = 0.0, 0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                st = os.stat(os.path.join(root, f))
+                mt = max(mt, st.st_mtime)
+                sz += st.st_size
+    tag = f"{int(mt)}_{sz}"
+    cache = os.path.join(tempfile.gettempdir(), "tds_pyfiles_cache")
+    zip_path = os.path.join(cache, f"topo_descriptors_spark_{tag}.zip")
+    if not os.path.isfile(zip_path):
+        os.makedirs(cache, exist_ok=True)
+        for old in os.listdir(cache):  # stale fingerprints
+            if old.startswith("topo_descriptors_spark_"):
+                os.unlink(os.path.join(cache, old))
+        # zip with the package as the archive root so workers import it
+        # flat; build under a pid-unique name then rename atomically so
+        # concurrent sessions never addPyFile a half-written zip
+        tmp = shutil.make_archive(
+            os.path.join(cache, f"_build_{os.getpid()}"), "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     sc._tds_pkg_shipped = True
