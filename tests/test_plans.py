@@ -100,3 +100,31 @@ def test_dedup_lines_no_cartesian_single_linecount_join(spark):
     plan = _plan(dedup_lines(read_table(spark, SF, "documents")))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # line counts combine map-side
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The (scan -> md5-shingle -> explode -> distinct) subplan feeds
+    three consumers (sizes, freq, kept) plus the pair self-join; the
+    whole operator is only linear-ish because ReuseExchange dedupes it
+    so the shingle transform runs ONCE (a measured 4x regression if
+    broken — dedup.py r6 A/B).  AQE only materializes reuse in the
+    final adaptive plan, so this pin executes the query and asserts on
+    the '== Final Plan ==' section: at most 2 Generate (explode) nodes
+    — one per side of the pair self-join — and at least one
+    ReusedExchange; without reuse every consumer re-evaluates the
+    transform (6+ Generates, zero ReusedExchange)."""
+    from topo_descriptors_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, SF, "documents")
+    df = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.12, max_df=100)
+    df.collect()  # AQE: reuse only appears once the plan is final
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    n_generate = final.count("Generate ")
+    n_reused = final.count("ReusedExchange")
+    assert n_generate <= 2, (
+        f"shingle explode evaluated {n_generate}x in the final plan - "
+        "the shared-subplan ReuseExchange is broken (4x regression)"
+    )
+    assert n_reused >= 1, "no ReusedExchange in the final ngram_jaccard plan"

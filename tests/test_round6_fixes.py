@@ -88,6 +88,48 @@ def test_round_half_away_matches_duckdb_not_bankers():
     assert _round_half_away(np.array([0.123456]), 3)[0] == pytest.approx(0.123)
 
 
+def test_blocked_kernel_inlined_rounding_is_half_away_end_to_end(spark):
+    """The mapInPandas score closure inlines its own copy of the
+    half-away-from-zero rounding (deliberately, to stay self-contained);
+    only the _round_half_away helper was unit-pinned, so the two copies
+    could silently diverge (ADVICE r6).  This routes an exact rounding
+    boundary through cosine_topk_join_blocked END-TO-END: a one-hot
+    query against an all-ones 16-dim corpus vector scores cosine
+    exactly 0.25 (binary-exact: 1/sqrt(16)*1), which at round_digits=1
+    is 0.3 under half-away-from-zero but 0.2 under numpy's half-to-even
+    — and the base form's F.round (decimal HALF_UP) agrees on 0.3."""
+    from topo_descriptors_spark.operators.similarity import (
+        cosine_topk_join,
+        cosine_topk_join_blocked,
+    )
+
+    qs = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 15)], "vec_id int, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [1.0] * 16),    # cosine +0.25 -> 0.3 (half-even: 0.2)
+            (101, [-1.0] * 16),   # cosine -0.25 -> -0.3 (half-even: -0.2)
+            (102, [1.0] + [0.0] * 15),  # cosine 1.0, rank 1
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.id_c: r.cosine
+        for r in cosine_topk_join_blocked(
+            qs, corpus, k=3, round_digits=1
+        ).collect()
+    }
+    assert got[100] == pytest.approx(0.3)   # NOT 0.2: half-away, both signs
+    assert got[101] == pytest.approx(-0.3)
+    assert got[102] == pytest.approx(1.0)
+    base = {
+        r.id_c: r.cosine
+        for r in cosine_topk_join(qs, corpus, k=3, round_digits=1).collect()
+    }
+    assert base == {k: pytest.approx(v) for k, v in got.items()}
+
+
 # --------------------------------------------- salted_agg map-typed columns
 
 

@@ -248,10 +248,14 @@ def ngram_jaccard_pairs(
     # sizes/freq/kept all hang off `sh` ON PURPOSE: Spark's ReuseExchange
     # dedupes the (scan -> shingle-hash -> explode -> distinct) subplan
     # across all three consumers, so the expensive md5-shingle transform
-    # runs once.  Deriving n_sh map-side from the hash array instead
-    # (size(array_distinct(...))) looks cheaper — one less groupBy — but
-    # re-evaluates the transform per join consumer and measured 4x
-    # SLOWER at sf0.1 (3.0 s -> 12.0 s, r6 A/B).
+    # runs once per self-join side (final AQE plan: 2 Generates + 4
+    # ReusedExchanges; without reuse, 6+ Generates).  Deriving n_sh
+    # map-side from the hash array instead (size(array_distinct(...)))
+    # looks cheaper — one less groupBy — but re-evaluates the transform
+    # per join consumer and measured 4x SLOWER at sf0.1 (3.0 s ->
+    # 12.0 s, r6 A/B).  Plan-pinned (AQE shows reuse only in the
+    # post-execution final plan): tests/test_plans.py::
+    # test_ngram_jaccard_reuses_shingle_exchange.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
     kept = sh.join(freq.where(F.col("df_") <= max_df), "sh").select(id_col, "sh")
