@@ -1828,21 +1828,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # verdict's ROUND-7 CURATION NOTE prescribed (the r6 ADVICE count
 # mismatch in the old hand-written note is moot — the note is gone).
 
-ROUND = 7          # bump each round; refresh _TOUCHED at the same time
+ROUND = 8          # bump each round; refresh _TOUCHED at the same time
 _BASE_ROUND = 7    # round at which the canonical order was laid down
 _WINDOW = 50       # driver records the first 50 queries() entries
 _STRIDE = 42       # rotation step: ceil(112 / 42) = 3-round freshness
 
 _PINNED = ("w_tpi_multiscale", "j_asof_events")
 _TOUCHED = (
-    # r7: the five streaming gate rows moved onto the shared
-    # _drain_to_memory helper (checkpoint cleanup + sink bookkeeping,
-    # ADVICE r6) — physical-only, but changed code re-verifies.
-    "w_sessionize_stream",
-    "w_dedup_stream",
-    "w_decayed_stream",
-    "w_window_counts_stream",
-    "w_enrich_stream",
+    # r8: no operator/query/oracle code changed (this round's diff is
+    # session-startup hardening, bench median machinery and the
+    # plan-audit/selfcheck gates) — the rotation alone pulls the 16
+    # r5-official phase-1 rows into the official window.
 )
 
 
@@ -1850,7 +1846,14 @@ def _window_order(round_no: int, head: tuple, keys: list) -> list:
     """Pure rotation: ``head`` rows first, then the canonical order
     rotated by (round_no - _BASE_ROUND) * _STRIDE.  The first _WINDOW
     entries of the result are the driver's official window."""
-    head = [k for k in head if k in keys]
+    unknown = [k for k in head if k not in keys]
+    if unknown:
+        # a typo'd/renamed _PINNED or _TOUCHED entry must fail loudly —
+        # silently dropping it would skip the intended this-round
+        # re-verification with no signal (ADVICE r7)
+        raise KeyError(
+            f"_PINNED/_TOUCHED entries not in the contract: {unknown}"
+        )
     slack = _WINDOW - _STRIDE
     if len(head) > slack:
         raise ValueError(
@@ -1859,7 +1862,7 @@ def _window_order(round_no: int, head: tuple, keys: list) -> list:
         )
     start = ((round_no - _BASE_ROUND) * _STRIDE) % len(keys)
     rotated = keys[start:] + keys[:start]
-    return head + [k for k in rotated if k not in head]
+    return list(head) + [k for k in rotated if k not in head]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -282,13 +282,15 @@ def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
             t0 = time.monotonic()
             _materialize(qs[name](spark, sf_dir))
             times[name].append(time.monotonic() - t0)
-    return {
-        n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in times.items()
-    }
+    return times
+
+
+def _median(ts: list[float]) -> float:
+    return sorted(ts)[len(ts) // 2] if ts else 0.0
 
 
 def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
-               repeats: int = 1) -> dict:
+               repeats: int = 1, suite_out: str | None = None) -> dict:
     from topo_descriptors_spark.session import get_spark
 
     n_cores = int(cores) if cores.isdigit() else 32
@@ -337,23 +339,39 @@ def run_single(sf_dir: str, cores: str, n_docs: int, queries: bool = True,
             _materialize(flagship_real_packed(spark, sf_dir))
             runs["real_packed"].append(time.monotonic() - t0)
 
-    def med(xs: list[float]) -> float:
-        return sorted(xs)[len(xs) // 2] if xs else 0.0
+    flagship_sec = _median(runs["tokens"])
+    packed_sec = _median(runs["packed"])
+    real_sec = _median(runs["real"])
+    real_packed_sec = _median(runs["real_packed"])
 
-    flagship_sec = med(runs["tokens"])
-    packed_sec = med(runs["packed"])
-    real_sec = med(runs["real"])
-    real_packed_sec = med(runs["real_packed"])
-
-    per_query = bench_queries(spark, sf_dir, repeats=repeats) if queries else {}
-    per_query = {
-        "flagship_tokens": round(flagship_sec, 3),
-        "flagship_packed": round(packed_sec, 3),
-        **({"flagship_real": round(real_sec, 3),
-            "flagship_real_packed": round(real_packed_sec, 3)}
-           if with_real else {}),
-        **per_query,
+    suite_runs = bench_queries(spark, sf_dir, repeats=repeats) if queries else {}
+    all_runs = {
+        "flagship_tokens": runs["tokens"],
+        "flagship_packed": runs["packed"],
+        **({"flagship_real": runs["real"],
+            "flagship_real_packed": runs["real_packed"]} if with_real else {}),
+        **suite_runs,
     }
+    per_query = {n: round(_median(ts), 3) for n, ts in all_runs.items()}
+    if suite_out:
+        # VERDICT r7 #3: the foreground suite artifact carries per-query
+        # median + spread (+ every raw run), so round-over-round
+        # comparisons key off medians instead of single-shot numbers and
+        # a wide spread flags a drifting box before anyone adjudicates a
+        # phantom regression
+        os.makedirs(os.path.dirname(suite_out) or ".", exist_ok=True)
+        with open(suite_out, "w") as fh:
+            json.dump({
+                "metric": "foreground suite, interleaved per-query medians",
+                "sf": _sf_of(sf_dir), "cores": cores, "repeats": repeats,
+                "flagship_docs": n_docs,
+                "queries": {
+                    n: {"median_sec": round(_median(ts), 3),
+                        "spread_sec": [round(min(ts), 3), round(max(ts), 3)],
+                        "runs_sec": [round(t, 3) for t in ts]}
+                    for n, ts in all_runs.items()
+                },
+            }, fh, indent=2)
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "asof-join + multiscale window-feature suite wall-clock",
@@ -562,6 +580,11 @@ def main():
     # flagship numbers are medians of 3 by default: single runs on this
     # shared VM swing 2-3x from box drift alone (measured)
     ap.add_argument("--repeats", type=int, default=3)
+    # --suite-medians: also write the foreground artifact with per-query
+    # median + spread + raw runs (VERDICT r7 #3); default path is keyed
+    # to the current round so BENCH/ accumulates one per round
+    ap.add_argument("--suite-medians", nargs="?", const="", default=None,
+                    metavar="OUT_JSON")
     args = ap.parse_args()
 
     if args.scaling:
@@ -571,8 +594,14 @@ def main():
         print(json.dumps(run_grid(args.cores)))
         return
 
+    suite_out = args.suite_medians
+    if suite_out == "":
+        import __spark_entry__ as entrymod
+
+        suite_out = f"BENCH/suite_r{entrymod.ROUND}_foreground.json"
     res = run_single(args.sf_dir, args.cores, args.docs,
-                     queries=not args.flagship_only, repeats=args.repeats)
+                     queries=not args.flagship_only, repeats=args.repeats,
+                     suite_out=suite_out)
     print(json.dumps(res))
 
 

@@ -91,6 +91,22 @@ ALLOWED_NESTED_LOOPS = {
 # driver-side and spawns no job at all)
 _BENIGN_STAGES = ("load at ",)
 
+# Per-query Exchange-count baseline (VERDICT r7 #4): the gate catches
+# NEW row-UDFs/NL-joins/eager actions, but a query whose shuffle count
+# silently grows — the audit docstring's own example of a scale
+# regression — used to still pass.  The committed baseline (captured
+# from PLAN_AUDIT_r07.json at sf0.01, the audit's standard input) fails
+# any INCREASE; a legitimate plan change (new stage in an operator)
+# needs a conscious baseline bump in the same commit.  Decreases pass
+# (they are improvements) — refresh the baseline when one lands so the
+# better plan becomes the new ceiling.
+import os as _os
+
+_BASELINE_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                               "plan_exchange_baseline.json")
+with open(_BASELINE_PATH) as _fh:
+    EXCHANGE_BASELINE: dict[str, int] = json.load(_fh)
+
 COUNTERS = {
     "exchanges": r"\bExchange\b",
     "broadcast_hash_joins": r"\bBroadcastHashJoin\b",
@@ -166,6 +182,20 @@ def gate_violations(report: dict) -> list[str]:
                 "at build time, not in ALLOWED_EAGER — driver-side "
                 "actions in query build need adjudication"
             )
+        if "exchanges" in row:  # audit_one always emits it
+            baseline = EXCHANGE_BASELINE.get(name)
+            if baseline is None:
+                bad.append(
+                    f"{name}: no committed exchange-count baseline — new "
+                    "queries must add their shuffle count to "
+                    "scripts/plan_exchange_baseline.json in the same commit"
+                )
+            elif row["exchanges"] > baseline:
+                bad.append(
+                    f"{name}: {row['exchanges']} exchanges vs committed "
+                    f"baseline {baseline} — the shuffle count grew; either "
+                    "fix the plan or consciously bump the baseline"
+                )
     return bad
 
 

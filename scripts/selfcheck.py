@@ -78,6 +78,22 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return problems
 
 
+def check_window_prefix(record_keys: list[str]) -> None:
+    """VERDICT r7 #5: the emitted FULL artifact and the driver's official
+    window are two code paths that must agree on the 50-row prefix —
+    assert it at emission time so a drift between ``selfcheck`` and
+    ``__spark_entry__.queries()`` is caught locally, not by the judge."""
+    window = list(entrymod.queries())[: entrymod._WINDOW]
+    prefix = record_keys[: entrymod._WINDOW]
+    if prefix != window:
+        diffs = [i for i, (a, b) in enumerate(zip(prefix, window)) if a != b]
+        raise AssertionError(
+            f"FULL-artifact prefix drifted from the driver window at "
+            f"positions {diffs[:5]}: artifact={prefix[:3]}..., "
+            f"window={window[:3]}..."
+        )
+
+
 def main():
     args = sys.argv[1:]
     emit_path = None
@@ -157,6 +173,10 @@ def main():
     if emit_path:
         import json
 
+        if not only:  # full-contract emission must mirror the driver
+            check_window_prefix(list(record))
+            print(f"window prefix OK: first {entrymod._WINDOW} artifact "
+                  "keys == driver window")
         with open(emit_path, "w") as fh:
             json.dump(record, fh, indent=2)
         print(f"wrote {emit_path} ({len(record)} queries)")

@@ -70,6 +70,36 @@ def test_gate_trips_on_audit_error():
     assert len(v) == 1 and "audit error" in v[0]
 
 
+def test_gate_trips_on_exchange_growth():
+    """VERDICT r7 #4: a query whose shuffle count grows past its
+    committed baseline must fail even with a clean UDF/NL/eager posture."""
+    name = "j_dim_join"
+    base = plan_audit.EXCHANGE_BASELINE[name]
+    v = plan_audit.gate_violations({name: _clean_row(exchanges=base + 1)})
+    assert len(v) == 1 and "shuffle count grew" in v[0]
+    # at or below baseline passes (a decrease is an improvement)
+    assert plan_audit.gate_violations(
+        {name: _clean_row(exchanges=base)}) == []
+    assert plan_audit.gate_violations(
+        {name: _clean_row(exchanges=max(base - 1, 0))}) == []
+
+
+def test_gate_trips_on_missing_baseline_entry():
+    """A NEW query (no committed baseline row) must fail until its
+    shuffle count is consciously committed."""
+    v = plan_audit.gate_violations(
+        {"brand_new_query": _clean_row(exchanges=0)})
+    assert len(v) == 1 and "plan_exchange_baseline" in v[0]
+
+
+def test_exchange_baseline_covers_contract():
+    """Every contract query has a committed baseline row (and no
+    orphans), so the growth gate can never silently skip one."""
+    import __spark_entry__ as em
+
+    assert set(plan_audit.EXCHANGE_BASELINE) == set(em.queries())
+
+
 # ------------------------------- failing-by-construction on REAL plans
 
 

@@ -73,9 +73,24 @@ def test_oversized_head_raises():
         entry._window_order(entry.ROUND, too_big, contract)
 
 
+def test_unknown_head_key_raises():
+    """A typo'd/renamed _PINNED or _TOUCHED entry must fail loudly, not
+    silently drop the intended re-verification (ADVICE r7)."""
+    contract = list(entry._contract())
+    with pytest.raises(KeyError, match="not in the contract"):
+        entry._window_order(
+            entry.ROUND, ("w_tpi_multiscale", "no_such_query"), contract)
+
+
+def test_head_keys_exist_in_contract():
+    """The live _PINNED/_TOUCHED must all be real contract keys — the
+    companion guard to test_unknown_head_key_raises (ADVICE r7)."""
+    assert set(entry._PINNED + entry._TOUCHED) <= set(entry._contract())
+
+
 def test_round7_window_matches_curation_note():
-    """ROUND=7 must reproduce the r6 verdict's ROUND-7 CURATION NOTE:
-    all 18 r4-official rows inside the official window."""
+    """ROUND=7 (with r7's recorded head) must reproduce the r6 verdict's
+    ROUND-7 CURATION NOTE: all 18 r4-official rows inside the window."""
     r4_rows = {
         "a_corr_matrix", "d_bloom_prune", "a_funnel", "p_stratified_split",
         "a_robust_scale", "a_entropy", "t_bigram_logprob",
@@ -83,5 +98,42 @@ def test_round7_window_matches_curation_note():
         "j_asof_forward", "t_bm25", "t_gopher", "t_token_bigrams",
         "d_token_prefix_dup", "a_heavy_hitters", "w_cum_distinct",
     }
-    window = set(list(entry.queries())[: entry._WINDOW])
+    r7_head = entry._PINNED + (
+        "w_sessionize_stream", "w_dedup_stream", "w_decayed_stream",
+        "w_window_counts_stream", "w_enrich_stream",
+    )
+    window = set(entry._window_order(
+        7, r7_head, list(entry._contract()))[: entry._WINDOW])
     assert r4_rows <= window
+
+
+def test_selfcheck_window_prefix_check():
+    """VERDICT r7 #5: selfcheck's FULL-artifact emission must assert its
+    50-row prefix equals the driver window — both directions proven."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck", os.path.join(os.path.dirname(__file__), "..",
+                                  "scripts", "selfcheck.py"))
+    selfcheck = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(selfcheck)
+    good = list(entry.queries())
+    selfcheck.check_window_prefix(good)  # must not raise
+    drifted = good[1:] + good[:1]
+    with pytest.raises(AssertionError, match="drifted"):
+        selfcheck.check_window_prefix(drifted)
+
+
+def test_round8_window_pulls_r5_rows():
+    """ROUND=8 phase 1 must pull the 16 rows that were r5-official at
+    the end of r7 into the official window (VERDICT r7 #2)."""
+    r5_rows = {
+        "a_rank_ops", "d_decontaminate", "f_json_extract", "p_hash_split",
+        "p_pack_cumsum", "p_pack_greedy", "p_resample", "p_sample_mix",
+        "s_rand_proj", "t_fingerprint", "t_lang_id", "t_pii_redact",
+        "t_quality", "t_token_count", "t_token_regex", "w_session_stats",
+    }
+    assert entry.ROUND == 8
+    window = set(list(entry.queries())[: entry._WINDOW])
+    assert r5_rows <= window

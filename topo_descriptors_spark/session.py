@@ -74,19 +74,20 @@ def _ship_package(spark: SparkSession) -> None:
     to workers in ANY master mode.  No-op when already shipped, when
     spark-submit --py-files already distributed the package, or when
     the package is on the workers' import path anyway.  The zip is
-    cached under a stable temp path keyed by a content fingerprint
-    (max mtime + total size of the package's .py files), so repeated
+    cached under a per-user temp dir keyed by a content fingerprint
+    (hash of every packed file's path, mtime_ns and size), so repeated
     sessions reuse it and an edited package rebuilds it (ADVICE r6:
     the old mkdtemp-per-session left one orphan dir per SparkSession).
+    Concurrency (ADVICE r7): a peer process may prune "stale" zips at
+    any moment, so every unlink tolerates already-gone/foreign files,
+    pruning skips zips younger than an hour, and addPyFile retries
+    once through a rebuild if its zip vanished under it.
     """
     sc = spark.sparkContext
     if getattr(sc, "_tds_pkg_shipped", False):
         return
-    import shutil
-    import tempfile
 
-    if "topo_descriptors_spark" in sc.getConf().get(
-            "spark.submit.pyFiles", ""):
+    if _pyfiles_has_package(sc.getConf().get("spark.submit.pyFiles", "")):
         sc._tds_pkg_shipped = True
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -97,27 +98,97 @@ def _ship_package(spark: SparkSession) -> None:
         arch = pkg_dir
         while arch and not os.path.isfile(arch):
             arch = os.path.dirname(arch)
-        if arch and arch not in sc.getConf().get("spark.submit.pyFiles", ""):
+        if arch and not _pyfiles_has_package(
+                sc.getConf().get("spark.submit.pyFiles", ""),
+                extra_basename=os.path.basename(arch)):
             sc.addPyFile(arch)
         sc._tds_pkg_shipped = True
         return
-    # content fingerprint: cheap stat walk, no file reads — enough to
-    # invalidate the cache whenever any package .py changes
-    mt, sz = 0.0, 0
-    for root, _dirs, files in os.walk(pkg_dir):
-        for f in files:
-            if f.endswith(".py"):
-                st = os.stat(os.path.join(root, f))
-                mt = max(mt, st.st_mtime)
-                sz += st.st_size
-    tag = f"{int(mt)}_{sz}"
-    cache = os.path.join(tempfile.gettempdir(), "tds_pyfiles_cache")
+    zip_path = _build_package_zip(pkg_dir)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        # a concurrent session's stale-prune may have unlinked the zip
+        # between our rename and the JVM's copy — rebuild once and retry
+        if os.path.isfile(zip_path):
+            raise
+        sc.addPyFile(_build_package_zip(pkg_dir))
+    sc._tds_pkg_shipped = True
+
+
+def _pyfiles_has_package(pyfiles: str, extra_basename: str | None = None) -> bool:
+    """True when spark.submit.pyFiles already distributes THIS package.
+
+    Parses the comma-separated list and compares archive stems exactly
+    (``topo_descriptors_spark`` or a fingerprint-tagged
+    ``topo_descriptors_spark_<tag>``) instead of raw substring matching,
+    so a sibling ``topo_descriptors_spark_plugins.zip`` that does NOT
+    contain the package no longer suppresses shipping (ADVICE r7).
+    """
+    import re
+
+    names = {"topo_descriptors_spark"}
+    if extra_basename:
+        names.add(re.sub(r"\.(zip|egg|whl)$", "", extra_basename))
+    for entry in pyfiles.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        stem = re.sub(r"\.(zip|egg|whl)$", "", os.path.basename(entry))
+        if stem in names or re.fullmatch(
+                r"topo_descriptors_spark_[0-9a-f]{16}", stem):
+            return True
+    return False
+
+
+def _build_package_zip(pkg_dir: str) -> str:
+    """Zip ``pkg_dir`` into the per-user cache; return the cached path."""
+    import getpass
+    import hashlib
+    import shutil
+    import tempfile
+    import time
+
+    # content fingerprint: cheap stat walk, no file reads — hash of every
+    # packed file's (relpath, mtime_ns, size) so ANY change to ANY file
+    # make_archive would pack (not just .py, not just same-second edits)
+    # invalidates the cache (ADVICE r7).
+    h = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".pyc") or "__pycache__" in root:
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            h.update(
+                f"{os.path.relpath(p, pkg_dir)}\0{st.st_mtime_ns}\0"
+                f"{st.st_size}\n".encode())
+    tag = h.hexdigest()[:16]
+    # per-user, 0700 cache dir: on a multi-user host another user's files
+    # can neither crash our prune (PermissionError) nor pre-plant a
+    # spoofed zip at a predictable path (ADVICE r7).
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid())
+    cache = os.path.join(tempfile.gettempdir(), f"tds_pyfiles_cache_{user}")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
     zip_path = os.path.join(cache, f"topo_descriptors_spark_{tag}.zip")
     if not os.path.isfile(zip_path):
-        os.makedirs(cache, exist_ok=True)
+        now = time.time()
         for old in os.listdir(cache):  # stale fingerprints
-            if old.startswith("topo_descriptors_spark_"):
-                os.unlink(os.path.join(cache, old))
+            if not old.startswith("topo_descriptors_spark_"):
+                continue
+            p = os.path.join(cache, old)
+            try:
+                # skip recent zips: a live peer session may be between
+                # its os.replace and sc.addPyFile right now
+                if now - os.stat(p).st_mtime < 3600:
+                    continue
+                os.unlink(p)
+            except OSError:
+                pass  # peer pruned it first, or foreign perms — harmless
         # zip with the package as the archive root so workers import it
         # flat; build under a pid-unique name then rename atomically so
         # concurrent sessions never addPyFile a half-written zip
@@ -127,5 +198,4 @@ def _ship_package(spark: SparkSession) -> None:
             base_dir=os.path.basename(pkg_dir),
         )
         os.replace(tmp, zip_path)
-    sc.addPyFile(zip_path)
-    sc._tds_pkg_shipped = True
+    return zip_path
