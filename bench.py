@@ -449,6 +449,43 @@ def run_grid(cores: str) -> dict:
             "jobs": out, "cores": cores}
 
 
+def memory_bandwidth_probe(n_mib: int = 256, repeats: int = 7) -> dict:
+    """Single-thread DRAM-bandwidth probe (VERDICT r7 #1): copy an
+    ``n_mib`` MiB numpy array ``repeats`` times and report read+write
+    GB/s (median + spread).  The r7 failure mode was sustained NEIGHBOR
+    load on this shared VM depressing the 4-thread config more than the
+    1-thread one — a contention mode the packed phase-drift control only
+    partially rejects because it drifts BETWEEN subprocess runs.  The
+    probe is instantaneous and measures the shared resource itself, so
+    a contended day is machine-flagged even when the packed control
+    happens to pass.  Band: quiet-box history reads >= ~4.3 GB/s
+    (calibrated r8); below that the box is in the depressed regime and
+    the run's exploded reading should not become a round header."""
+    import numpy as np
+
+    # np.empty + fill forces REAL physical pages: an untouched np.zeros
+    # buffer is backed by the shared copy-on-write zero page, and copying
+    # it reads one cached 4 KiB page over and over — measured 6.9 GB/s
+    # "bandwidth" on a box whose true DRAM copy rate was 4.8
+    a = np.empty(n_mib * 1024 * 1024 // 8, dtype=np.float64)
+    a.fill(1.0)
+    for _ in range(2):  # warm the copy loop
+        a.copy()
+    vals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        a.copy()
+        vals.append(2 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+    vals.sort()
+    return {"gbs_median": round(vals[len(vals) // 2], 2),
+            "gbs_spread": [round(vals[0], 2), round(vals[-1], 2)]}
+
+
+# quiet-box single-thread copy bandwidth floor (GB/s): probes below this
+# flag the depressed-neighbor regime (see memory_bandwidth_probe)
+BANDWIDTH_QUIET_GBS = 4.3
+
+
 def run_scaling(sf_dir: str, n_docs: int) -> dict:
     """N vs 4N cores on the identical flagship job, fresh JVM per config.
 
@@ -473,6 +510,7 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
     }
     results = {}
     n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    probes = [memory_bandwidth_probe()]
     for _round in range(n_rounds):
         for cores in (SCALING_N, SCALING_4N):
             proc = subprocess.run(
@@ -487,6 +525,7 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
             for q in times[cores]:
                 times[cores][q].append(r["queries"][q])
             results[cores] = r
+        probes.append(memory_bandwidth_probe())
     for cores in (SCALING_N, SCALING_4N):
         for q, runs in times[cores].items():
             med = sorted(runs)[len(runs) // 2]
@@ -505,12 +544,25 @@ def run_scaling(sf_dir: str, n_docs: int) -> dict:
         (results[SCALING_4N]["sequences_per_sec_packed"]
          / results[SCALING_N]["sequences_per_sec_packed"]) / 4.0, 3
     )
+    bw = sorted(p["gbs_median"] for p in probes)
+    bw_median = bw[len(bw) // 2]
     report = {
         "metric": f"scaling efficiency local[{SCALING_N}]->local[{SCALING_4N}] (N->4N proxy)",
         "throughput_seq_per_sec": {f"local{SCALING_N}": thr_n, f"local{SCALING_4N}": thr_4n},
         "efficiency": eff,
         "efficiency_packed": eff_packed,
         "flagship_docs": n_docs,
+        # second control (VERDICT r7 #1): single-thread DRAM bandwidth
+        # sampled before the first and after every interleaved round —
+        # a median below BANDWIDTH_QUIET_GBS means sustained neighbor
+        # contention and machine-rejects the day for header purposes
+        "bandwidth_probe_gbs": {
+            "median": bw_median,
+            "per_round": [p["gbs_median"] for p in probes],
+            "quiet_floor": BANDWIDTH_QUIET_GBS,
+            "verdict": "QUIET" if bw_median >= BANDWIDTH_QUIET_GBS
+                       else "CONTENDED",
+        },
     }
     _write_baseline_md(report, results)
     # full sidecar: per-config medians + every raw run, so a later
@@ -563,7 +615,15 @@ def _write_baseline_md(report: dict, results: dict) -> None:
             f"**efficiency = (thr_{n4} / thr_{n}) / 4 = {report['efficiency']}"
             f" (exploded window+as-of plan); {report['efficiency_packed']}"
             f" (zero-shuffle packed plan)**\n\n"
-            f"flagship corpus: {report['flagship_docs']} synthetic docs of\n"
+            + (
+                "box-state control: single-thread DRAM copy bandwidth "
+                f"{report['bandwidth_probe_gbs']['median']} GB/s "
+                f"(quiet floor {report['bandwidth_probe_gbs']['quiet_floor']}"
+                f") -> **{report['bandwidth_probe_gbs']['verdict']}**; "
+                f"per-round {report['bandwidth_probe_gbs']['per_round']}\n\n"
+                if "bandwidth_probe_gbs" in report else ""
+            )
+            + f"flagship corpus: {report['flagship_docs']} synthetic docs of\n"
             "BASELINE.json:input_hint shape (deterministic, seed-fixed).\n\n"
             + (tail or "")
         )
