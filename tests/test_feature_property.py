@@ -1,6 +1,12 @@
 """Property-based checks for the round-4 feature operators: OHLC bars vs
 a pandas resample oracle, count-min sketch invariants over arbitrary
-key distributions."""
+key distributions.
+
+Set ``SPARK_GRAFT_PROP_SCALE`` (float multiplier) for a deep sweep; see
+``test_asof_property.py``.
+"""
+
+import os
 
 import pandas as pd
 import pytest
@@ -8,6 +14,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from topo_descriptors_spark.operators.features import cms_counts, resample_ohlc
+
+_SCALE = float(os.environ.get("SPARK_GRAFT_PROP_SCALE", "1"))
+
+
+def _n(base: int) -> int:
+    return max(1, int(base * _SCALE))
 
 
 @st.composite
@@ -27,7 +39,7 @@ def ohlc_case(draw):
 
 
 @settings(
-    max_examples=10, deadline=None,
+    max_examples=_n(10), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(case=ohlc_case())
@@ -65,7 +77,7 @@ keys = st.one_of(
 
 
 @settings(
-    max_examples=8, deadline=None,
+    max_examples=_n(8), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(ks=st.lists(keys, min_size=1, max_size=80))
