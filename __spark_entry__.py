@@ -1835,10 +1835,15 @@ _STRIDE = 42       # rotation step: ceil(112 / 42) = 3-round freshness
 
 _PINNED = ("w_tpi_multiscale", "j_asof_events")
 _TOUCHED = (
-    # r8: no operator/query/oracle code changed (this round's diff is
-    # session-startup hardening, bench median machinery and the
-    # plan-audit/selfcheck gates) — the rotation alone pulls the 16
-    # r5-official phase-1 rows into the official window.
+    # r8: the ANSI divide-by-zero fix (try_divide in window.tpi_col,
+    # window.gradient_cols and the fused as-of TPI — a lone-sample
+    # frame / single-row entity crashed the stage; now NULL, the
+    # reference's 0/0 NaN) touches these operators' expressions, so
+    # their rows re-verify officially this round.  w_tpi_multiscale is
+    # already pinned at the window head.
+    "w_tpi_chunked",
+    "w_gradient",
+    "j_asof_fused",
 )
 
 
