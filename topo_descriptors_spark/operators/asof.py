@@ -382,8 +382,9 @@ def asof_with_frame_features(
     for d in scales_pxl:
         k = int(d) // 2
         wr = order.rangeBetween(-2 * k, 2 * k)
-        tpi = F.col("_v") - (F.sum("_v").over(wr) - F.col("_v")) / (
-            F.count("_v").over(wr) - 1
+        tpi = F.col("_v") - F.try_divide(
+            F.sum("_v").over(wr) - F.col("_v"),
+            F.count("_v").over(wr) - 1,  # lone-sample frame -> NULL, not ANSI error
         )
         feat_cols += [tpi.alias(f"tpi_{d}"), F.stddev_samp("_v").over(wr).alias(f"std_{d}")]
         names += [f"tpi_{d}", f"std_{d}"]

@@ -66,12 +66,15 @@ def tpi_col(value: Column, k: int, w: WindowSpec) -> Column:
     Sufficient-statistics form: one partial-aggregated sum + count per
     frame (Spark's WindowExec keeps a sliding frame, O(1) per row), the
     same algebra the reference gets from its 0/1-disk convolution
-    (reference topo.py:168-170).
+    (reference topo.py:168-170).  A frame whose only non-null sample is
+    the center (isolated event / short entity) has no neighborhood mean:
+    try_divide yields NULL there — the reference's 0/0 NaN — instead of
+    an ANSI DIVIDE_BY_ZERO killing the stage.
     """
     frame = w.rowsBetween(-k, k)
     s = F.sum(value).over(frame)
     c = F.count(value).over(frame)
-    return value - (s - value) / (c - F.lit(1))
+    return value - F.try_divide(s - value, c - F.lit(1))
 
 
 def tpi(
@@ -268,13 +271,16 @@ def gradient_cols(
 
     Interior: (v[i+1] - v[i-1]) / (t[i+1] - t[i-1]); edges fall back to
     one-sided differences via coalesce — exactly np.gradient's edge rule
-    (reference topo.py:631-635 uses the same shifts).
+    (reference topo.py:631-635 uses the same shifts).  Single-row
+    entities (np.gradient refuses <2 samples) and duplicate-timestamp
+    neighbors have no defined gradient: try_divide yields NULL instead
+    of an ANSI DIVIDE_BY_ZERO killing the stage.
     """
     v_next = F.coalesce(F.lead(value).over(w), value)
     v_prev = F.coalesce(F.lag(value).over(w), value)
     t_next = F.coalesce(F.lead(order_num).over(w), order_num)
     t_prev = F.coalesce(F.lag(order_num).over(w), order_num)
-    dvdt = (v_next - v_prev) / (t_next - t_prev)
+    dvdt = F.try_divide(v_next - v_prev, t_next - t_prev)
     slope = F.degrees(F.atan(dvdt))
     return dvdt, slope
 
