@@ -1844,6 +1844,10 @@ _TOUCHED = (
     "w_tpi_chunked",
     "w_gradient",
     "j_asof_fused",
+    # r8: ann_topk_blocked gained the zero-norm/empty-embedding entry
+    # filter its expression twin always had (NaN-normalization / ragged
+    # np.stack stage-killer on degenerate rows).
+    "s_ann_topk",
 )
 
 

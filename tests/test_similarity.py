@@ -304,3 +304,32 @@ def test_zero_norm_vectors_excluded_everywhere(spark):
     ann = ann_topk_lsh(df, k=2, n_planes=2, dim=2).toPandas()
     assert 3 not in set(ann.id_a) and 3 not in set(ann.id_b)
     assert not ann.cosine.isna().any()
+
+
+def test_ann_blocked_excludes_degenerate_embeddings_like_lsh_twin(spark):
+    """Regression pin (r8 edge probe): zero-norm and empty-array rows
+    reached ann_topk_blocked's BLAS kernels — NaN normalization for the
+    zero-norms and a raw np.stack ValueError (stage killer) for the
+    empties — while the expression twin filtered them.  Both twins must
+    exclude them and agree; an all-degenerate input yields empty, not a
+    driver TypeError from the dim probe."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[0.0, 0.0], [], [1.0, 0.25], [0.9, 0.3]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    blocked = S.ann_topk_blocked(df, k=2, n_planes=2).toPandas()
+    expr = S.ann_topk_lsh(df, k=2, n_planes=2).toPandas()
+    key = ["id_a", "rank"]
+    pd.testing.assert_frame_equal(
+        blocked.sort_values(key).reset_index(drop=True)[["id_a", "id_b", "cosine"]],
+        expr.sort_values(key).reset_index(drop=True)[["id_a", "id_b", "cosine"]],
+    )
+    assert set(blocked.id_a) <= {3, 4}
+
+    degenerate = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.0], []]})
+    )
+    assert S.ann_topk_blocked(degenerate, k=1).count() == 0

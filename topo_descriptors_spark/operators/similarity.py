@@ -299,14 +299,36 @@ def ann_topk_blocked(
     )
 
     require_cols(df, "ann_topk_blocked", **{id_col: "atomic", vec: "array_numeric"})
+    # zero-norm (and therefore empty-array) vectors have no defined
+    # cosine — excluded up front exactly like ann_topk_lsh/ivf_topk, so
+    # the twins stay result-identical and the BLAS kernels never see a
+    # NaN normalization or a raggedness-by-emptiness np.stack failure.
+    # Non-empty wrong-dimension vectors still RAISE (guard, not
+    # truncate), the documented policy of cosine_topk_join_blocked.
+    df = df.where(norm_col(vec) > 0)
     if dim is None:  # schema-level fact; pass it to keep planning job-free
-        dim = len(df.select(vec).first()[0])
+        first = df.select(vec).first()
+        if first is None:  # nothing rankable survives the filter
+            id_type = df.schema[id_col].dataType
+            from pyspark.sql.types import DoubleType as _D, IntegerType as _I
+            from pyspark.sql.types import StructField as _F, StructType as _S
+            return df.sparkSession.createDataFrame([], _S([
+                _F("id_a", id_type), _F("id_b", id_type),
+                _F("rank", _I()), _F("cosine", _D()),
+            ]))
+        dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
     id_dtype = dict(df.dtypes)[id_col]
 
     @pandas_udf(LongType())
     def bucket_udf(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy())
+        try:
+            m = np.stack(v.to_numpy())
+        except ValueError as e:
+            raise ValueError(
+                "ann_topk_blocked: embeddings must all have the same "
+                f"dimension (expected {planes.shape[1]})"
+            ) from e
         signs = (m @ planes.T) > 0
         return pd.Series((signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64))
 
