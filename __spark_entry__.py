@@ -1709,12 +1709,22 @@ def q_temporal_split(spark, sf_dir):
 
 def q_cosine_topk_join(spark, sf_dir):
     """Two-table retrieval: every 10th vector queries the remaining
-    corpus for its top-5 cosine neighbors (broadcast query side, corpus
-    never shuffles)."""
+    corpus for its top-5 cosine neighbors (bounded query side, corpus
+    never shuffles).
+
+    r9: runs through the blocked Arrow/BLAS kernel — one matmul per
+    corpus batch, exact per-batch top-k partials — instead of the
+    n_query x n_corpus zip_with scoring join.  Same operator contract,
+    same oracle (s_cosine_topk_join_blocked has shared this query's
+    oracle since r5, hash-green every round); the pure-Catalyst
+    reference form stays available as
+    :func:`similarity.cosine_topk_join`.  At the driver's sf1.0 the
+    scoring join was 464 s vs 11 s blocked — the docstring of the base
+    form itself says corpus-scale use belongs on the blocked path."""
     emb = read_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 10 == 0)
     corpus = emb.where(F.col("vec_id") % 10 != 0)
-    return similarity.cosine_topk_join(qs, corpus, k=5).select(
+    return similarity.cosine_topk_join_blocked(qs, corpus, k=5).select(
         "id_q", "id_c", "rank", F.round("cosine", _R).alias("cosine")
     )
 

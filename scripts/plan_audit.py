@@ -105,7 +105,14 @@ import os as _os
 _BASELINE_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                                "plan_exchange_baseline.json")
 with open(_BASELINE_PATH) as _fh:
-    EXCHANGE_BASELINE: dict[str, int] = json.load(_fh)
+    _raw_baseline = json.load(_fh)
+# the sf the baseline was captured at (ADVICE r8: join strategy and
+# hence Exchange counts legitimately vary with input size, so the gate
+# only compares like with like — audits at another sf skip the
+# exchange check with a warning instead of spuriously failing)
+BASELINE_SF_DIR: str = _raw_baseline.get("_sf_dir", "/root/testdata/sf0.01")
+EXCHANGE_BASELINE: dict[str, int] = {
+    k: v for k, v in _raw_baseline.items() if not k.startswith("_")}
 
 COUNTERS = {
     "exchanges": r"\bExchange\b",
@@ -154,10 +161,12 @@ def audit_one(spark, fn, sf_dir: str, name: str = "q") -> dict:
     return out
 
 
-def gate_violations(report: dict) -> list[str]:
+def gate_violations(report: dict, check_exchanges: bool = True) -> list[str]:
     """The committed-posture gate (VERDICT r6 #4).  Returns one message
     per violation; empty list = pass.  ``err`` rows are violations too —
-    a query that cannot even plan must not pass a plan gate."""
+    a query that cannot even plan must not pass a plan gate.
+    ``check_exchanges=False`` skips the exchange-count comparison (used
+    when the audited sf differs from the baseline's capture sf)."""
     bad = []
     for name, row in sorted(report.items()):
         if row.get("err"):
@@ -182,7 +191,7 @@ def gate_violations(report: dict) -> list[str]:
                 "at build time, not in ALLOWED_EAGER — driver-side "
                 "actions in query build need adjudication"
             )
-        if "exchanges" in row:  # audit_one always emits it
+        if check_exchanges and "exchanges" in row:  # audit_one emits it
             baseline = EXCHANGE_BASELINE.get(name)
             if baseline is None:
                 bad.append(
@@ -214,7 +223,12 @@ def main() -> None:
             report[name] = row
         except Exception as e:  # pragma: no cover - report, don't die
             report[name] = {"err": f"{type(e).__name__}: {e}"}
-    violations = gate_violations(report)
+    same_sf = _os.path.normpath(sf_dir) == _os.path.normpath(BASELINE_SF_DIR)
+    if not same_sf:
+        print(f"WARNING: exchange baseline captured at {BASELINE_SF_DIR}, "
+              f"auditing {sf_dir} — exchange-count gate skipped",
+              file=sys.stderr)
+    violations = gate_violations(report, check_exchanges=same_sf)
     summary = {
         "sf_dir": sf_dir,
         "n_queries": len(report),

@@ -29,6 +29,22 @@ class EngineConfig:
     shuffle_partitions: int = 32
     max_partition_bytes: str = "128m"
     spark_extra: dict = field(default_factory=dict)
+    # Scan parallelization (sources/io.read_table): a parquet input whose
+    # row-group count is below the cluster's core count cannot feed more
+    # scan tasks than it has row groups — every scan-stage expression
+    # (tokenize, md5 shingles, hash folds) then runs on a handful of
+    # cores while the rest idle (guide §2.5 "input skew: one huge
+    # unsplittable file ... repartition immediately after the read").
+    # read_table therefore round-robin repartitions such inputs to
+    # ``scan_repartition_factor × defaultParallelism`` slices.  All three
+    # knobs are scale-adaptive, not tuned to local[32]: at production
+    # scale a 100-TB table has orders of magnitude more row groups than
+    # cores, the trigger condition (row_groups < cores) is false, and the
+    # repartition never fires.  Tiny dims (< scan_repartition_min_bytes)
+    # are skipped — a broadcast-sized side is cheaper to read serially
+    # than to shuffle.  Set scan_repartition_factor=0 to disable.
+    scan_repartition_factor: int = 3
+    scan_repartition_min_bytes: int = 262_144
 
 
 CFG = EngineConfig()

@@ -29,10 +29,88 @@ TPCH_TABLES = (
 ).split()
 
 
+# metadata memo for the scan-parallelization decision: (total bytes,
+# row-group count) per parquet path.  Footer metadata only — never row
+# data — so this is a planning cache, not a result cache.
+_SCAN_META: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_meta(path: str, big_cutoff: int) -> tuple[int, int]:
+    """(total_bytes, total_row_groups) of a parquet file or directory.
+
+    Inputs larger than ``big_cutoff`` bytes short-circuit with a
+    sentinel row-group count of 10**9 WITHOUT reading any footer: a
+    big input either already has enough splits or is far too heavy to
+    round-robin, and walking thousands of footers is driver-side work
+    the decision does not need (guide §5: the driver should do almost
+    no data work)."""
+    import os
+
+    if path in _SCAN_META:
+        return _SCAN_META[path]
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [os.path.join(root, f) for f in names
+                      if f.endswith(".parquet")]
+    elif os.path.isfile(path):
+        files = [path]
+    total = sum(os.path.getsize(f) for f in files)
+    if total > big_cutoff:
+        _SCAN_META[path] = (total, 10**9)
+        return _SCAN_META[path]
+    n_rg = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            n_rg += pq.ParquetFile(f).metadata.num_row_groups
+    except Exception:
+        # no pyarrow / unreadable footer: assume one split per file
+        n_rg = len(files)
+    _SCAN_META[path] = (total, max(n_rg, 1) if files else 0)
+    return _SCAN_META[path]
+
+
+def _size_bytes(spec: str) -> int:
+    """'128m' / '1g' / '65536' -> bytes (the Spark size-string subset
+    the engine's own config uses)."""
+    spec = str(spec).strip().lower()
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(spec[-1:], 1)
+    return int(float(spec.rstrip("kmg"))) * mult
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
 ) -> DataFrame:
-    return spark.read.format(fmt).load(f"{sf_dir}/{name}.parquet")
+    """Scan a table, parallelizing row-group-starved parquet inputs.
+
+    A parquet split only reads row groups whose midpoint falls inside
+    it, so a file with R row groups feeds at most R non-empty scan
+    tasks no matter what ``maxPartitionBytes`` says.  When R is below
+    the core count, every scan-stage expression (tokenize, md5
+    shingles, array folds) serializes on R cores — the guide §2.5
+    "unsplittable input" case — so such inputs are round-robin
+    repartitioned to ``CFG.scan_repartition_factor x
+    defaultParallelism`` slices right after the read.  The shuffle
+    moves the raw payload once (bounded: the trigger requires the input
+    to be smaller than cores x maxPartitionBytes-ish); filters still
+    push down to the scan (Catalyst pushes predicates through
+    round-robin Repartition).  At production scale row groups far
+    outnumber cores and this is a no-op; tiny broadcast-sized dims
+    (< CFG.scan_repartition_min_bytes) are also left alone.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.format(fmt).load(path)
+    factor = int(CFG.scan_repartition_factor)
+    if fmt == "parquet" and factor > 0:
+        target = spark.sparkContext.defaultParallelism
+        big = target * _size_bytes(CFG.max_partition_bytes)
+        total_bytes, n_rg = _parquet_meta(path, big)
+        if (total_bytes >= int(CFG.scan_repartition_min_bytes)
+                and 0 < n_rg < target):
+            df = df.repartition(factor * target)
+    return df
 
 
 def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
