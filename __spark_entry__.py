@@ -97,6 +97,26 @@ def _drain_to_memory(spark, sdf, prefix, mode, n_state=None):
     return spark.table(name)
 
 
+def _gate_state_partitions(spark, sf_dir) -> int:
+    """State-partition count for the stateful gate drains, sized to the
+    events input (r9 A/B, interleaved medians): at gate scale the fixed
+    per-partition state-store commit cost dominates and 8 partitions is
+    best (sf0.1: 4.41s total @8 vs 6.22s @32 across the four stateful
+    drains — consistent with the r6 512->8 measurement), while at
+    sf1.0+ the per-event state kernel dominates and wants full core
+    fan-out (w_decayed_stream 9.25s @8 -> 4.69s @32).  Cluster-safe:
+    scales with defaultParallelism, never a hard-coded core count."""
+    import os as _os
+
+    try:
+        mb = _os.path.getsize(_os.path.join(sf_dir, "events.parquet")) / 2**20
+    except OSError:
+        mb = 0.0
+    if mb < 8.0:
+        return 8
+    return max(8, spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # window features (SURVEY.md §2.5) over events(user_id, ts, value)
 # ---------------------------------------------------------------------------
@@ -856,7 +876,7 @@ def q_sessionize_stream(spark, sf_dir):
     )
     sess = sessionize_stream(ev, gap_seconds=21600, watermark="87600 hours")
     return _drain_to_memory(
-        spark, sess, "sess_gate", "complete", n_state=8
+        spark, sess, "sess_gate", "complete", n_state=_gate_state_partitions(spark, sf_dir)
     ).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
@@ -900,7 +920,7 @@ def q_dedup_stream(spark, sf_dir):
         watermark="87600 hours",
     )
     return _drain_to_memory(
-        spark, deduped, "dedup_gate", "append", n_state=8
+        spark, deduped, "dedup_gate", "append", n_state=_gate_state_partitions(spark, sf_dir)
     ).select("user_id", "event_type")
 
 
@@ -935,7 +955,7 @@ def q_decayed_stream(spark, sf_dir):
         ev, half_life_seconds=86400.0, lookback_rows=50
     )
     return _drain_to_memory(
-        spark, out, "decay_gate", "append", n_state=8
+        spark, out, "decay_gate", "append", n_state=_gate_state_partitions(spark, sf_dir)
     ).select(
         F.col("id").alias("event_id"),
         F.col("entity").alias("user_id"),
@@ -1021,8 +1041,10 @@ def q_kmv_distinct(spark, sf_dir):
     k); the whole sketch replays exactly in SQL."""
     from topo_descriptors_spark.operators import features as FE
 
-    return FE.kmv_distinct(_events(spark, sf_dir), "user_id", k=64,
-                           group_by="event_type")
+    # parallelize=True: per-row portable-md5 of the key (same rationale
+    # as q_cms_counts)
+    ev = read_table(spark, sf_dir, "events", parallelize=True)
+    return FE.kmv_distinct(ev, "user_id", k=64, group_by="event_type")
 
 
 def q_quantile_bin(spark, sf_dir):
@@ -1618,7 +1640,7 @@ def q_window_counts_stream(spark, sf_dir):
     )
     agg = windowed_counts_stream(ev, 86400, watermark="87600 hours")
     return _drain_to_memory(
-        spark, agg, "winc_gate", "complete", n_state=8
+        spark, agg, "winc_gate", "complete", n_state=_gate_state_partitions(spark, sf_dir)
     ).select(
         "user_id",
         F.unix_micros("window_start").alias("start_us"),
@@ -1691,10 +1713,15 @@ def q_ohlc(spark, sf_dir):
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch estimates for events.user_id (depth 4 × width
     256 — narrow on purpose so collisions actually occur and the exact
-    replay proves the sketch, not just the exact path)."""
+    replay proves the sketch, not just the exact path).
+
+    parallelize=True: the sketch's per-row portable-md5 of the key is
+    heavy scan-stage work on a thin-row table — exactly the case the
+    read_table width heuristic cannot see (r9)."""
     from topo_descriptors_spark.operators.features import cms_counts
 
-    return cms_counts(_events(spark, sf_dir), "user_id", depth=4, width=256)
+    ev = read_table(spark, sf_dir, "events", parallelize=True)
+    return cms_counts(ev, "user_id", depth=4, width=256)
 
 
 def q_temporal_split(spark, sf_dir):

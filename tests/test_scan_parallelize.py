@@ -1,0 +1,86 @@
+"""r9 optimization internals: scan parallelization (sources/io.read_table)
+and input-sized state partitions for the streaming gate drains.
+
+A 1-row-group parquet file can feed exactly one non-empty scan task, so
+every scan-stage expression serializes on one core (guide §2.5
+"unsplittable input").  read_table round-robin repartitions such inputs
+to factor x defaultParallelism — results are the same rows, only the
+physical layout changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from topo_descriptors_spark.config import CFG
+from topo_descriptors_spark.sources import io as tio
+
+
+def _write_single_rowgroup(spark, path: str, n_rows: int) -> None:
+    # incompressible payload so the on-disk size clears the
+    # scan_repartition_min_bytes floor at realistic row counts
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame({
+        "k": range(n_rows),
+        "v": [rng.bytes(64).hex() for _ in range(n_rows)],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_small_single_rowgroup_input_is_repartitioned(spark, tmp_path):
+    base = str(tmp_path)
+    _write_single_rowgroup(spark, os.path.join(base, "t.parquet"), 20_000)
+    tio._SCAN_META.clear()
+    df = tio.read_table(spark, base, "t")
+    target = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() == CFG.scan_repartition_factor * target
+    # same rows, only layout changed
+    assert df.count() == 20_000
+    assert "Exchange RoundRobinPartitioning" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_tiny_dim_is_left_alone(spark, tmp_path):
+    base = str(tmp_path)
+    _write_single_rowgroup(spark, os.path.join(base, "dim.parquet"), 10)
+    tio._SCAN_META.clear()
+    df = tio.read_table(spark, base, "dim")
+    # below scan_repartition_min_bytes: no exchange added
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_factor_zero_disables(spark, tmp_path, monkeypatch):
+    base = str(tmp_path)
+    _write_single_rowgroup(spark, os.path.join(base, "t.parquet"), 20_000)
+    tio._SCAN_META.clear()
+    monkeypatch.setattr(CFG, "scan_repartition_factor", 0)
+    df = tio.read_table(spark, base, "t")
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    tio._SCAN_META.clear()
+
+
+def test_big_input_short_circuits_footer_reads(tmp_path):
+    """Inputs past the cutoff never read footers (driver does no data
+    work for a decision that cannot fire) — sentinel row-group count."""
+    p = str(tmp_path / "big.parquet")
+    with open(p, "wb") as fh:
+        fh.write(b"\0" * 4096)
+    total, n_rg, n_rows = tio._parquet_meta(p, big_cutoff=1024)
+    assert total == 4096 and n_rg == 10**9 and n_rows == 0
+    tio._SCAN_META.clear()
+
+
+def test_gate_state_partitions_scale_with_input(spark, monkeypatch):
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(os.path, "getsize", lambda p: 2 * 2**20)
+    assert entry._gate_state_partitions(spark, "/x") == 8
+    monkeypatch.setattr(os.path, "getsize", lambda p: 16 * 2**20)
+    assert entry._gate_state_partitions(spark, "/x") == max(
+        8, spark.sparkContext.defaultParallelism
+    )

@@ -45,6 +45,13 @@ class EngineConfig:
     # than to shuffle.  Set scan_repartition_factor=0 to disable.
     scan_repartition_factor: int = 3
     scan_repartition_min_bytes: int = 262_144
+    # Auto mode also requires this many compressed bytes/row: thin-row
+    # fact tables decode fast and almost always flow straight into a
+    # hash exchange, making a prior round-robin exchange pure cost;
+    # wide (text/embedding) rows carry the expression work that wants
+    # fan-out.  Callers with heavy per-row work over thin rows pass
+    # parallelize=True instead.
+    scan_repartition_min_row_bytes: int = 64
 
 
 CFG = EngineConfig()

@@ -302,8 +302,11 @@ def ann_topk_blocked(
     # zero-norm (and therefore empty-array) vectors have no defined
     # cosine — excluded up front exactly like ann_topk_lsh/ivf_topk, so
     # the twins stay result-identical and the BLAS kernels never see a
-    # NaN normalization or a raggedness-by-emptiness np.stack failure.
-    # Non-empty wrong-dimension vectors still RAISE (guard, not
+    # zero-norm normalization or a raggedness-by-emptiness np.stack
+    # failure.  (NaN-element vectors pass this filter — Spark orders
+    # NaN above numbers — identically in both twins, so the twins still
+    # agree; a NaN cosine is then the caller's data problem, ADVICE
+    # r8.)  Non-empty wrong-dimension vectors still RAISE (guard, not
     # truncate), the documented policy of cosine_topk_join_blocked.
     df = df.where(norm_col(vec) > 0)
     if dim is None:  # schema-level fact; pass it to keep planning job-free

@@ -174,11 +174,28 @@ def _build_package_zip(pkg_dir: str) -> str:
         user = str(os.getuid())
     cache = os.path.join(tempfile.gettempdir(), f"tds_pyfiles_cache_{user}")
     os.makedirs(cache, mode=0o700, exist_ok=True)
+    # enforce the per-user claim on a PRE-EXISTING dir too (ADVICE r8):
+    # makedirs(exist_ok=True) neither fixes permissions nor checks
+    # ownership, so an attacker who pre-created the predictable path
+    # world-writable could swap the zip between os.replace and the
+    # JVM's addPyFile copy.  Verify owner, force 0700, and fall back to
+    # a private mkdtemp (no reuse, but safe) when the dir cannot be
+    # claimed.
+    try:
+        st = os.stat(cache)
+        if st.st_uid != os.getuid():
+            raise OSError("cache dir owned by another user")
+        if (st.st_mode & 0o777) != 0o700:
+            os.chmod(cache, 0o700)
+    except OSError:
+        cache = tempfile.mkdtemp(prefix="tds_pyfiles_")
     zip_path = os.path.join(cache, f"topo_descriptors_spark_{tag}.zip")
     if not os.path.isfile(zip_path):
         now = time.time()
-        for old in os.listdir(cache):  # stale fingerprints
-            if not old.startswith("topo_descriptors_spark_"):
+        for old in os.listdir(cache):  # stale fingerprints + dead builds
+            # _build_* temp archives from a crashed build are pruned on
+            # the same 1-hour threshold (ADVICE r8: they leaked forever)
+            if not old.startswith(("topo_descriptors_spark_", "_build_")):
                 continue
             p = os.path.join(cache, old)
             try:
@@ -190,10 +207,15 @@ def _build_package_zip(pkg_dir: str) -> str:
             except OSError:
                 pass  # peer pruned it first, or foreign perms — harmless
         # zip with the package as the archive root so workers import it
-        # flat; build under a pid-unique name then rename atomically so
-        # concurrent sessions never addPyFile a half-written zip
+        # flat; build under a unique name (pid + random suffix: a
+        # recycled pid must not race two builds onto one temp path,
+        # ADVICE r8) then rename atomically so concurrent sessions
+        # never addPyFile a half-written zip
+        import uuid
+
         tmp = shutil.make_archive(
-            os.path.join(cache, f"_build_{os.getpid()}"), "zip",
+            os.path.join(cache, f"_build_{os.getpid()}_{uuid.uuid4().hex[:8]}"),
+            "zip",
             root_dir=os.path.dirname(pkg_dir),
             base_dir=os.path.basename(pkg_dir),
         )

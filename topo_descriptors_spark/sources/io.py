@@ -35,8 +35,9 @@ TPCH_TABLES = (
 _SCAN_META: dict[str, tuple[int, int]] = {}
 
 
-def _parquet_meta(path: str, big_cutoff: int) -> tuple[int, int]:
-    """(total_bytes, total_row_groups) of a parquet file or directory.
+def _parquet_meta(path: str, big_cutoff: int) -> tuple[int, int, int]:
+    """(total_bytes, total_row_groups, total_rows) of a parquet file or
+    directory.
 
     Inputs larger than ``big_cutoff`` bytes short-circuit with a
     sentinel row-group count of 10**9 WITHOUT reading any footer: a
@@ -57,18 +58,21 @@ def _parquet_meta(path: str, big_cutoff: int) -> tuple[int, int]:
         files = [path]
     total = sum(os.path.getsize(f) for f in files)
     if total > big_cutoff:
-        _SCAN_META[path] = (total, 10**9)
+        _SCAN_META[path] = (total, 10**9, 0)
         return _SCAN_META[path]
     n_rg = 0
+    n_rows = 0
     try:
         import pyarrow.parquet as pq
 
         for f in files:
-            n_rg += pq.ParquetFile(f).metadata.num_row_groups
+            md = pq.ParquetFile(f).metadata
+            n_rg += md.num_row_groups
+            n_rows += md.num_rows
     except Exception:
         # no pyarrow / unreadable footer: assume one split per file
         n_rg = len(files)
-    _SCAN_META[path] = (total, max(n_rg, 1) if files else 0)
+    _SCAN_META[path] = (total, max(n_rg, 1) if files else 0, n_rows)
     return _SCAN_META[path]
 
 
@@ -81,7 +85,11 @@ def _size_bytes(spec: str) -> int:
 
 
 def read_table(
-    spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fmt: str = "parquet",
+    parallelize: bool | None = None,
 ) -> DataFrame:
     """Scan a table, parallelizing row-group-starved parquet inputs.
 
@@ -99,16 +107,30 @@ def read_table(
     round-robin Repartition).  At production scale row groups far
     outnumber cores and this is a no-op; tiny broadcast-sized dims
     (< CFG.scan_repartition_min_bytes) are also left alone.
+
+    ``parallelize``: ``None`` (auto) additionally requires wide rows
+    (>= CFG.scan_repartition_min_row_bytes compressed bytes/row) —
+    thin-row tables (numeric event/fact rows) decode fast and usually
+    flow straight into a hash exchange (window/as-of/groupBy), where a
+    prior round-robin exchange is pure cost (measured r9: events-window
+    queries +0.3-1.5 s each, text/embedding queries 5-12x faster).
+    ``True`` skips the width check — for callers whose per-row
+    scan-stage work is heavy regardless of width (e.g. per-row md5 of a
+    thin key column).  ``False`` never repartitions.
     """
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.format(fmt).load(path)
     factor = int(CFG.scan_repartition_factor)
-    if fmt == "parquet" and factor > 0:
+    if fmt == "parquet" and factor > 0 and parallelize is not False:
         target = spark.sparkContext.defaultParallelism
         big = target * _size_bytes(CFG.max_partition_bytes)
-        total_bytes, n_rg = _parquet_meta(path, big)
+        total_bytes, n_rg, n_rows = _parquet_meta(path, big)
+        wide_enough = parallelize is True or (
+            n_rows > 0
+            and total_bytes / n_rows >= int(CFG.scan_repartition_min_row_bytes)
+        )
         if (total_bytes >= int(CFG.scan_repartition_min_bytes)
-                and 0 < n_rg < target):
+                and 0 < n_rg < target and wide_enough):
             df = df.repartition(factor * target)
     return df
 
