@@ -1041,9 +1041,12 @@ def q_kmv_distinct(spark, sf_dir):
     k); the whole sketch replays exactly in SQL."""
     from topo_descriptors_spark.operators import features as FE
 
-    # parallelize=True: per-row portable-md5 of the key (same rationale
-    # as q_cms_counts)
-    ev = read_table(spark, sf_dir, "events", parallelize=True)
+    # r9 A/B (sf0.1 + 10x corpus, 1-rg and multi-rg layouts): the
+    # per-row portable-md5 is NOT heavy enough to pay for a round-robin
+    # exchange of the thin events rows — auto mode (width-gated, no
+    # repartition) wins at every scale measured, so no parallelize
+    # opt-in here.
+    ev = read_table(spark, sf_dir, "events")
     return FE.kmv_distinct(ev, "user_id", k=64, group_by="event_type")
 
 
@@ -1541,9 +1544,14 @@ def q_ann_topk(spark, sf_dir):
     # deterministic, so the DuckDB oracle inlines them as literals and
     # replays bucket assignment + within-bucket ranking exactly.
     # dim is passed so plan construction launches no Spark job.
+    # parallelize=False (r9 A/B, every scale/layout): the heavy work
+    # runs AFTER the groupBy(bucket) shuffle inside applyInPandas,
+    # which already fans out by bucket; scan-side work is one cheap
+    # matmul per Arrow batch, so a prior round-robin exchange of the
+    # wide embedding rows is pure cost (2x at sf0.1 AND at 10x).
     out = similarity.ann_topk_blocked(
-        read_table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
-        n_planes=4, dim=EMB_DIM,
+        read_table(spark, sf_dir, "embeddings", parallelize=False),
+        k=5, id_col="vec_id", n_planes=4, dim=EMB_DIM,
     )
     return out.select("id_a", "id_b", "rank", _r("cosine").alias("cosine"))
 
@@ -1715,12 +1723,15 @@ def q_cms_counts(spark, sf_dir):
     256 — narrow on purpose so collisions actually occur and the exact
     replay proves the sketch, not just the exact path).
 
-    parallelize=True: the sketch's per-row portable-md5 of the key is
-    heavy scan-stage work on a thin-row table — exactly the case the
-    read_table width heuristic cannot see (r9)."""
+    r9 A/B (sf0.1 + 10x corpus, 1-rg and multi-rg layouts): the
+    sketch's per-row portable-md5 is not heavy enough to pay for a
+    round-robin exchange of the thin events rows (repartitioned form
+    1.35-1.8x slower at every scale/layout measured), so the earlier
+    parallelize=True opt-in is withdrawn — auto width gating skips the
+    repartition."""
     from topo_descriptors_spark.operators.features import cms_counts
 
-    ev = read_table(spark, sf_dir, "events", parallelize=True)
+    ev = read_table(spark, sf_dir, "events")
     return cms_counts(ev, "user_id", depth=4, width=256)
 
 

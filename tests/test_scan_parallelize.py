@@ -37,7 +37,12 @@ def test_small_single_rowgroup_input_is_repartitioned(spark, tmp_path):
     tio._SCAN_META.clear()
     df = tio.read_table(spark, base, "t")
     target = spark.sparkContext.defaultParallelism
-    assert df.rdd.getNumPartitions() == CFG.scan_repartition_factor * target
+    # slice count = factor x cores, capped by the per-slice row floor
+    expected = min(
+        CFG.scan_repartition_factor * target,
+        20_000 // CFG.scan_repartition_min_rows_per_slice,
+    )
+    assert df.rdd.getNumPartitions() == expected
     # same rows, only layout changed
     assert df.count() == 20_000
     assert "Exchange RoundRobinPartitioning" in (
@@ -51,6 +56,22 @@ def test_tiny_dim_is_left_alone(spark, tmp_path):
     tio._SCAN_META.clear()
     df = tio.read_table(spark, base, "dim")
     # below scan_repartition_min_bytes: no exchange added
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_floor_skips_small_tables(spark, tmp_path):
+    """A table with too few rows for >= min_slices slices of
+    >= min_rows_per_slice rows each is left alone even when it clears
+    the byte floor (the sf0.1-embeddings sliver regression, r9)."""
+    base = str(tmp_path)
+    _write_single_rowgroup(spark, os.path.join(base, "t.parquet"), 2_000)
+    tio._SCAN_META.clear()
+    total, _rg, n_rows = tio._parquet_meta(
+        os.path.join(base, "t.parquet"), big_cutoff=10**12)
+    assert total >= CFG.scan_repartition_min_bytes  # byte floor cleared
+    assert (n_rows // CFG.scan_repartition_min_rows_per_slice
+            < CFG.scan_repartition_min_slices)
+    df = tio.read_table(spark, base, "t")
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -45,6 +45,16 @@ class EngineConfig:
     # than to shuffle.  Set scan_repartition_factor=0 to disable.
     scan_repartition_factor: int = 3
     scan_repartition_min_bytes: int = 262_144
+    # Row floor per produced slice: the slice count is capped at
+    # n_rows / this, and the repartition is skipped entirely below
+    # scan_repartition_min_slices slices.  Without the floor a small
+    # table (sf0.1 embeddings: 2,000 rows) is shredded into
+    # factor x cores ~20-row slivers whose per-task Python/Arrow
+    # overhead swamps the fan-out (measured r9: blocked cosine 0.61 s
+    # -> 1.81 s, ANN 0.51 -> 1.13 s at sf0.1).  At scale the cap is a
+    # no-op: 50k docs / 512 = 97 slices, already above factor x 32.
+    scan_repartition_min_rows_per_slice: int = 512
+    scan_repartition_min_slices: int = 4
     # Auto mode also requires this many compressed bytes/row: thin-row
     # fact tables decode fast and almost always flow straight into a
     # hash exchange, making a prior round-robin exchange pure cost;

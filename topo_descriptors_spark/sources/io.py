@@ -129,9 +129,23 @@ def read_table(
             n_rows > 0
             and total_bytes / n_rows >= int(CFG.scan_repartition_min_row_bytes)
         )
+        # row floor: never shred a small table into slivers — each
+        # slice must carry >= scan_repartition_min_rows_per_slice rows
+        # (per-task Python/Arrow overhead is amortized over the slice),
+        # and fewer than scan_repartition_min_slices slices is not
+        # enough fan-out to pay for the exchange at all (measured r9:
+        # sf0.1 embeddings at factor x cores slivers cost 2-3x).
+        n_slices = factor * target
+        if n_rows > 0:
+            n_slices = min(
+                n_slices,
+                n_rows // max(int(CFG.scan_repartition_min_rows_per_slice), 1),
+            )
         if (total_bytes >= int(CFG.scan_repartition_min_bytes)
-                and 0 < n_rg < target and wide_enough):
-            df = df.repartition(factor * target)
+                and 0 < n_rg < target and wide_enough
+                and n_slices >= max(int(CFG.scan_repartition_min_slices), 1)
+                and n_slices > n_rg):
+            df = df.repartition(n_slices)
     return df
 
 
