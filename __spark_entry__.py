@@ -97,22 +97,29 @@ def _drain_to_memory(spark, sdf, prefix, mode, n_state=None):
     return spark.table(name)
 
 
-def _gate_state_partitions(spark, sf_dir) -> int:
+def _gate_state_partitions(spark, sf_dir, light_state: bool = False) -> int:
     """State-partition count for the stateful gate drains, sized to the
     events input (r9 A/B, interleaved medians): at gate scale the fixed
     per-partition state-store commit cost dominates and 8 partitions is
     best (sf0.1: 4.41s total @8 vs 6.22s @32 across the four stateful
     drains — consistent with the r6 512->8 measurement), while at
     sf1.0+ the per-event state kernel dominates and wants full core
-    fan-out (w_decayed_stream 9.25s @8 -> 4.69s @32).  Cluster-safe:
-    scales with defaultParallelism, never a hard-coded core count."""
+    fan-out (w_decayed_stream 9.25s @8 -> 4.69s @32).
+
+    ``light_state``: drains whose per-event state work is O(1) and tiny
+    (dropDuplicates' key-set insert) never amortize the commit cost at
+    these input sizes — the dedup drain measured 2.37s @32 vs 1.41s @8
+    on the 10x corpus (r9 interleaved A/B) while the kernel-heavy
+    drains all preferred @32 there — so the fan-out threshold is 16x
+    higher for them.  Cluster-safe: scales with defaultParallelism,
+    never a hard-coded core count."""
     import os as _os
 
     try:
         mb = _os.path.getsize(_os.path.join(sf_dir, "events.parquet")) / 2**20
     except OSError:
         mb = 0.0
-    if mb < 8.0:
+    if mb < (128.0 if light_state else 8.0):
         return 8
     return max(8, spark.sparkContext.defaultParallelism)
 
@@ -920,7 +927,8 @@ def q_dedup_stream(spark, sf_dir):
         watermark="87600 hours",
     )
     return _drain_to_memory(
-        spark, deduped, "dedup_gate", "append", n_state=_gate_state_partitions(spark, sf_dir)
+        spark, deduped, "dedup_gate", "append",
+        n_state=_gate_state_partitions(spark, sf_dir, light_state=True),
     ).select("user_id", "event_type")
 
 

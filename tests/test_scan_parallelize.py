@@ -105,3 +105,10 @@ def test_gate_state_partitions_scale_with_input(spark, monkeypatch):
     assert entry._gate_state_partitions(spark, "/x") == max(
         8, spark.sparkContext.defaultParallelism
     )
+    # light-state drains (O(1) per-event state work) keep the low
+    # partition count until the input is 16x larger
+    assert entry._gate_state_partitions(spark, "/x", light_state=True) == 8
+    monkeypatch.setattr(os.path, "getsize", lambda p: 256 * 2**20)
+    assert entry._gate_state_partitions(spark, "/x", light_state=True) == max(
+        8, spark.sparkContext.defaultParallelism
+    )
